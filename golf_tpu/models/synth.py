@@ -1,0 +1,367 @@
+"""Oscillators and glottal-flow wavetable sources.
+
+Reference: ``models/synth.py``. All oscillators take a normalized-frequency
+``phase`` signal (f0/sr, in [0, 0.5]) and integrate it in fp32 (the
+reference disables autocast around the cumsum, ``models/synth.py:250-251``;
+the same precision discipline is kept here).
+
+TPU-first deviations (math-equivalent):
+* harmonic phase integration is one (B, T) cumsum scaled by the harmonic
+  index (cumsum is linear) instead of the reference's (B, T, n_harm)
+  cumsum — 155x less sequential-scan work;
+* wavetable lookup is explicit bilinear gather instead of grid_sample.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.sig import Sig, sig_where
+from ..ops.lf import build_glottal_table
+from ..ops.resample import decimate, sinc_kernel
+from .ctrl import Controllable
+
+
+class OscillatorInterface(Controllable):
+    pass
+
+
+def _bilinear_table_lookup(wrapped_phase: jax.Array, tables: jax.Array,
+                           hop: int) -> jax.Array:
+    """grid_sample-equivalent lookup (reference ``GlottalFlowTable.generate``,
+    ``models/synth.py:124-177``).
+
+    wrapped_phase: (B, T) in [0, 1); tables: (B, frames, S) at frame-hop
+    ``hop``. Returns (B, T).
+    """
+    b, t = wrapped_phase.shape
+    s = tables.shape[-1]
+    blocks = (t + hop - 1) // hop
+    frames = tables.shape[1]
+    if frames < blocks + 1:
+        pad = blocks + 1 - frames
+        tables = jnp.concatenate(
+            [tables, jnp.repeat(tables[:, -1:], pad, axis=1)], axis=1)
+    else:
+        tables = tables[:, : blocks + 1]
+    # wrap-around column for phase interpolation across the period boundary
+    padded = jnp.concatenate([tables, tables[:, :, :1]], axis=2)  # (B,F,S+1)
+
+    col = wrapped_phase * s                       # in [0, S)
+    c0 = jnp.clip(jnp.floor(col), 0, s - 1).astype(jnp.int32)
+    cw = col - c0
+    row = jnp.arange(t, dtype=wrapped_phase.dtype) / hop  # in [0, blocks]
+    r0 = jnp.clip(jnp.floor(row), 0, blocks - 1).astype(jnp.int32)
+    rw = (row - r0)[None, :]
+    r0 = jnp.broadcast_to(r0[None, :], (b, t))
+
+    def corner(ri, ci):
+        return jnp.take_along_axis(
+            padded.reshape(b, -1),
+            ri * (s + 1) + ci, axis=1)
+
+    v00 = corner(r0, c0)
+    v01 = corner(r0, c0 + 1)
+    v10 = corner(r0 + 1, c0)
+    v11 = corner(r0 + 1, c0 + 1)
+    top = v00 * (1 - cw) + v01 * cw
+    bot = v10 * (1 - cw) + v11 * cw
+    return top * (1 - rw) + bot * rw
+
+
+class GlottalFlowTable(OscillatorInterface):
+    """Precomputed LF glottal pulse table over a log-spaced Rd grid
+    (reference ``models/synth.py:58-191``)."""
+
+    table_size: int = 100
+    table_type: str = "derivative"
+    normalize_method: Optional[str] = "constant_power"
+    align_peak: bool = True
+    trainable: bool = False
+    min_R_d: float = 0.3
+    max_R_d: float = 2.7
+    lf_v2: bool = False
+    points: int = 1000
+
+    def setup(self):
+        table = build_glottal_table(
+            table_size=self.table_size, table_type=self.table_type,
+            normalize_method=self.normalize_method,
+            align_peak=self.align_peak, min_R_d=self.min_R_d,
+            max_R_d=self.max_R_d, lf_v2=self.lf_v2, points=self.points)
+        if self.trainable:
+            self.table = self.param("table", lambda key: jnp.asarray(table))
+        else:
+            self.table = jnp.asarray(table)
+
+    def generate(self, wrapped_phase: Sig, tables: Sig) -> Sig:
+        assert wrapped_phase.hop == 1
+        out = _bilinear_table_lookup(
+            wrapped_phase.data, tables.data, tables.hop)
+        return Sig(out, 1)
+
+    def _interp_tables(self, weight: Sig) -> Sig:
+        """Scalar index in [0,1] -> linear mix of adjacent tables."""
+        num_tables, _ = self.table.shape
+        raw = weight.data * (num_tables - 1)
+        floor = jnp.clip(raw.astype(jnp.int32), 0, num_tables - 2)
+        p = (raw - floor)[..., None]
+        t0 = self.table[floor]
+        t1 = self.table[floor + 1]
+        return Sig(t0 * (1 - p) + t1 * p, weight.hop)
+
+
+class IndexedGlottalFlowTable(GlottalFlowTable):
+    """Scalar-index table lookup with optional oversampled integration
+    (reference ``models/synth.py:194-263``)."""
+
+    oversampling: int = 1
+    equal_energy: bool = False
+
+    @property
+    def split_sizes(self) -> Tuple[int, ...]:
+        return (1,)
+
+    def ctrl(self, logits: Sig) -> Tuple[Sig, ...]:
+        return (Sig(jax.nn.sigmoid(logits.data), logits.hop),)
+
+    def __call__(self, phase: Sig, table_select_weight: Sig,
+                 phase_offset: Optional[Sig] = None) -> Sig:
+        assert table_select_weight.ndim == 2
+        interp = self._interp_tables(table_select_weight)
+        k = self.oversampling
+        if k > 1:
+            interp = Sig(interp.data, interp.hop * k)
+            phase = Sig(phase.data / k, phase.hop * k)
+        up_phase = phase.reduce_hop_length()
+        instant = jnp.cumsum(up_phase.data.astype(jnp.float32), axis=1)
+        if phase_offset is not None:
+            instant = instant + phase_offset.data
+        wrapped = instant % 1
+        y = self.generate(Sig(wrapped, 1), interp)
+        if self.equal_energy:
+            y = Sig(y.data * jax.lax.rsqrt(up_phase.data), 1)
+        if k > 1:
+            y = Sig(decimate(y.data, k), 1)
+        return y
+
+
+class WeightedGlottalFlowTable(GlottalFlowTable):
+    """Softmax mix over all tables (reference :266-294)."""
+
+    @property
+    def split_sizes(self) -> Tuple[int, ...]:
+        return (self.table_size,)
+
+    def ctrl(self, logits: Sig) -> Tuple[Sig, ...]:
+        return (Sig(jax.nn.softmax(logits.data, axis=2), logits.hop),)
+
+    def __call__(self, phase: Sig, table_select_weight: Sig,
+                 phase_offset: Optional[Sig] = None) -> Sig:
+        assert table_select_weight.ndim == 3
+        weighted = Sig(table_select_weight.data @ self.table,
+                       table_select_weight.hop)
+        up_phase = phase.reduce_hop_length()
+        instant = jnp.cumsum(up_phase.data.astype(jnp.float32), axis=1)
+        if phase_offset is not None:
+            instant = instant + phase_offset.data
+        return self.generate(Sig(instant % 1, 1), weighted)
+
+
+class Downsampler(nn.Module):
+    """AvgPool(hop_rate) -> 1x1 conv -> GLU -> 1x1 conv (reference
+    ``get_downsampler``, ``models/synth.py:297-315``). Input (B, T, C)."""
+
+    hop_rate: int
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, h: jax.Array) -> jax.Array:
+        k = self.hop_rate
+        pad = k // 2
+        hp = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))
+        pooled = jax.lax.reduce_window(
+            hp, 0.0, jax.lax.add, (1, k, 1), (1, k, 1), "VALID") / k
+        x = nn.Dense(self.in_channels * 2)(pooled)
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * jax.nn.sigmoid(b)
+        return nn.Dense(self.out_channels)(x)
+
+
+class DownsampledIndexedGlottalFlowTable(IndexedGlottalFlowTable):
+    """Hidden frames -> downsampler -> scalar index at 10x coarser hop
+    (reference :318-340). Used by every GOLF config."""
+
+    hop_rate: int = 10
+    in_channels: int = 64
+
+    @property
+    def split_sizes(self) -> Tuple[int, ...]:
+        return (self.in_channels,)
+
+    def setup(self):
+        super().setup()
+        self.model = Downsampler(self.hop_rate, self.in_channels, 1)
+
+    def ctrl(self, h: Sig) -> Tuple[Sig, ...]:
+        out = self.model(h.data)[..., 0]
+        return (Sig(jax.nn.sigmoid(out), h.hop * self.hop_rate),)
+
+
+class WrappedPhaseDownsampledIndexedGlottalFlowTable(
+        DownsampledIndexedGlottalFlowTable):
+    """Consumes externally wrapped phase directly (reference :343-375)."""
+
+    def __call__(self, wrapped_phase: Sig, table_select_weight: Sig,
+                 phase_offset: Optional[Sig] = None) -> Sig:
+        assert wrapped_phase.hop == 1
+        interp = self._interp_tables(table_select_weight)
+        return self.generate(wrapped_phase, interp)
+
+
+class DownsampledWeightedGlottalFlowTable(WeightedGlottalFlowTable):
+    """Downsampler -> softmax table weights (reference :378-400)."""
+
+    hop_rate: int = 10
+    in_channels: int = 64
+
+    @property
+    def split_sizes(self) -> Tuple[int, ...]:
+        return (self.in_channels,)
+
+    def setup(self):
+        super().setup()
+        self.model = Downsampler(self.hop_rate, self.in_channels,
+                                 self.table_size)
+
+    def ctrl(self, h: Sig) -> Tuple[Sig, ...]:
+        out = jax.nn.softmax(self.model(h.data), axis=-1)
+        return (Sig(out, h.hop * self.hop_rate),)
+
+
+class HarmonicOscillator(OscillatorInterface):
+    """Additive sine bank with hard anti-aliasing (reference :403-446)."""
+
+    def _synth(self, phase: Sig, amplitudes: Sig,
+               initial_phase: Optional[jax.Array] = None,
+               phase_offset: Optional[Sig] = None) -> Sig:
+        n_harm = amplitudes.shape[-1]
+        harm_series = jnp.arange(1, n_harm + 1, dtype=jnp.float32)
+        up_phase = phase.reduce_hop_length()          # (B, T) hop 1
+        # one fp32 cumsum; per-harmonic phase = k * cumsum(phase)
+        base = jnp.cumsum(up_phase.data.astype(jnp.float32), axis=1)
+        inst = base[..., None] * harm_series          # (B, T, n)
+        if phase_offset is not None:
+            inst = inst + phase_offset.data[..., None] * harm_series
+        if initial_phase is not None:
+            init = initial_phase.data if isinstance(initial_phase, Sig) \
+                else initial_phase
+            inst = inst + init[:, None, :]
+        # anti-aliasing: zero amplitude at/above Nyquist
+        harm_freq = up_phase.data[..., None] * harm_series
+        amp = amplitudes.reduce_hop_length().truncate(base.shape[1])
+        t = min(amp.steps, base.shape[1])
+        amp_d = amp.data[:, :t]
+        harm_freq = harm_freq[:, :t]
+        inst = inst[:, :t]
+        amp_d = jnp.where(harm_freq >= 0.5, 0.0, amp_d)
+        out = jnp.einsum("btn,btn->bt",
+                         jnp.sin(inst * (2 * math.pi)), amp_d)
+        return Sig(out, 1)
+
+    def __call__(self, phase: Sig, amplitudes: Sig,
+                 initial_phase=None, phase_offset=None) -> Sig:
+        return self._synth(phase, amplitudes, initial_phase, phase_offset)
+
+
+class AdditiveSynthesizer(HarmonicOscillator):
+    """DDSP additive: amp = exp(log_gain) * sigmoid(logits), scaled by
+    1/sqrt(num_freq_bins) (reference :449-468)."""
+
+    num_harmonics: int = 150
+
+    @property
+    def split_sizes(self) -> Tuple[int, ...]:
+        return (1, self.num_harmonics)
+
+    def ctrl(self, log_gain: Sig, amp_logits: Sig) -> Tuple[Sig, ...]:
+        amp = jnp.exp(log_gain.data)[..., None] * \
+            jax.nn.sigmoid(amp_logits.data)
+        return (Sig(amp, amp_logits.hop),)
+
+    def __call__(self, phase: Sig, amplitudes: Sig, **kwargs) -> Sig:
+        num_freq_bins = 0.5 / phase
+        amplitudes = amplitudes * Sig(
+            jax.lax.rsqrt(num_freq_bins.data), num_freq_bins.hop)
+        return self._synth(phase, amplitudes, **kwargs)
+
+
+class V1AdditiveSynthesizer(HarmonicOscillator):
+    """ISMIR variant: sigmoid amps normalized to sum 1 (reference :471-483)."""
+
+    num_harmonics: int = 150
+
+    @property
+    def split_sizes(self) -> Tuple[int, ...]:
+        return (1, self.num_harmonics)
+
+    def ctrl(self, log_gain: Sig, amp_logits: Sig) -> Tuple[Sig, ...]:
+        s = jax.nn.sigmoid(amp_logits.data)
+        s = s / jnp.sum(s, axis=-1, keepdims=True)
+        return (Sig(jnp.exp(log_gain.data)[..., None] * s, amp_logits.hop),)
+
+
+class SawToothOscillator(HarmonicOscillator):
+    """Fixed 1/k amplitudes (SawSing; reference :486-504)."""
+
+    num_harmonics: int = 155
+    gain: float = 0.4
+
+    def __call__(self, phase: Sig, initial_phase=None, phase_offset=None,
+                 **kwargs) -> Sig:
+        amps = 1.0 / jnp.arange(1, self.num_harmonics + 1, dtype=jnp.float32)
+        amplitudes = Sig(
+            jnp.broadcast_to(amps, phase.shape + (self.num_harmonics,)),
+            phase.hop)
+        return self._synth(phase, amplitudes, initial_phase, phase_offset)
+
+
+class PulseTrain(OscillatorInterface):
+    """Impulse at each phase wrap, amplitude rsqrt(f0_norm)
+    (reference :507-523)."""
+
+    @nn.compact
+    def __call__(self, phase: Sig, phase_offset: Optional[Sig] = None) -> Sig:
+        up = phase.reduce_hop_length().data
+        instant = jnp.cumsum(up.astype(jnp.float32), axis=1)
+        if phase_offset is not None:
+            instant = instant + phase_offset.data
+        wrapped = instant % 1
+        transition = (wrapped[:, 1:] - wrapped[:, :-1]) < 0
+        out = jnp.zeros_like(up)
+        out = out.at[:, 1:].set(
+            jnp.where(transition, jax.lax.rsqrt(up[:, 1:]), 0.0))
+        return Sig(out, 1)
+
+
+class AdditivePulseTrain(HarmonicOscillator):
+    """Band-limited pulse train: all-ones harmonic bank scaled by
+    sqrt(2*phase) (reference :526-547)."""
+
+    num_harmonics: int = 155
+
+    def __call__(self, phase: Sig, initial_phase=None, phase_offset=None,
+                 **kwargs) -> Sig:
+        num_freq_bins = 0.5 / phase.data
+        amp = jax.lax.rsqrt(num_freq_bins)[..., None]
+        amplitudes = Sig(
+            jnp.broadcast_to(amp, phase.shape + (self.num_harmonics,)),
+            phase.hop)
+        return self._synth(phase, amplitudes, initial_phase, phase_offset)

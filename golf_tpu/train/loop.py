@@ -1,0 +1,253 @@
+"""Trainer: jit-compiled SPMD training loop.
+
+Covers the reference's Lightning surface (``cfg/ae/vctk.yaml`` trainer
+block): max_steps budget, grad-clip 0.5, periodic validation, top-k
+checkpoints by val_loss + save_last, EarlyStopping with check_finite (abort
+on NaN), metric logging. One jitted train step over the device mesh; batch
+sharded along the ``data`` axis, parameters replicated.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.sig import Sig
+from ..parallel.mesh import make_mesh
+from .checkpoint import CheckpointManager
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    stats: Any
+    batch_stats: Any
+    step: int
+
+
+def make_optimizer(lr: float = 1e-4, grad_clip: float = 0.5,
+                   optimizer: str = "adam", **kwargs) -> optax.GradientTransformation:
+    opt = {
+        "adam": optax.adam,
+        "adamw": optax.adamw,
+        "sgd": optax.sgd,
+    }[optimizer](lr, **kwargs)
+    if grad_clip and grad_clip > 0:
+        return optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    return opt
+
+
+class MetricsLogger:
+    """JSONL metrics log + stdout (W&B-equivalent observability)."""
+
+    def __init__(self, run_dir: str):
+        os.makedirs(run_dir, exist_ok=True)
+        self.path = os.path.join(run_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, metrics: Dict[str, float], prefix: str = ""):
+        rec = {"step": step, "time": time.time()}
+        rec.update({(prefix + k): float(v) for k, v in metrics.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+class Trainer:
+    def __init__(self, task, run_dir: str = "runs/default",
+                 max_steps: int = 1_000_000, lr: float = 1e-4,
+                 grad_clip: float = 0.5, val_every_steps: int = 5000,
+                 log_every_steps: int = 50, seed: int = 2434,
+                 save_top_k: int = 3, mesh=None, optimizer: str = "adam",
+                 check_finite: bool = True):
+        self.task = task
+        self.run_dir = run_dir
+        self.max_steps = max_steps
+        self.val_every_steps = val_every_steps
+        self.log_every_steps = log_every_steps
+        self.seed = seed
+        self.check_finite = check_finite
+        self.tx = make_optimizer(lr, grad_clip, optimizer)
+        self.mesh = mesh if mesh is not None else make_mesh(time=1)
+        self.logger = MetricsLogger(run_dir)
+        self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"),
+                                      top_k=save_top_k)
+        self._compiled = None
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, sample_batch) -> TrainState:
+        x, f0 = sample_batch[:2]
+        xs = Sig(jnp.asarray(x), 1)
+        f0s = Sig(jnp.asarray(f0), 1)
+        key = jax.random.key(self.seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        variables = self.task.init(
+            {"params": k1, "noise": k2, "dropout": k3}, xs, f0s, train=False,
+            method=lambda m, *a, **kw: m.training_step(*a, **kw))
+        params = variables.get("params", {})
+        stats = variables.get("stats", {})
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        return TrainState(params, opt_state, stats, batch_stats, 0)
+
+    # -- steps ------------------------------------------------------------
+    def _train_step(self, params, opt_state, stats, batch_stats, x, f0,
+                    rng):
+        k_noise, k_drop = jax.random.split(rng)
+
+        def loss_fn(p):
+            out, mutated = self.task.apply(
+                {"params": p, "stats": stats, "batch_stats": batch_stats},
+                Sig(x, 1), Sig(f0, 1), train=True,
+                rngs={"noise": k_noise, "dropout": k_drop},
+                mutable=["stats", "batch_stats"],
+                method=lambda m, *a, **kw: m.training_step(*a, **kw))
+            loss, metrics = out
+            return loss, (metrics, mutated)
+
+        (loss, (metrics, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = self.tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = gnorm
+        return (new_params, new_opt, mutated.get("stats", stats),
+                mutated.get("batch_stats", batch_stats), metrics)
+
+    def _compile(self):
+        if self._compiled is None:
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data"))
+            self._compiled = jax.jit(
+                self._train_step,
+                in_shardings=(repl, repl, repl, repl, data, data, repl),
+                donate_argnums=(0, 1))
+            self._val_step = jax.jit(
+                lambda params, stats, bstats, x, f0, rng: self.task.apply(
+                    {"params": params, "stats": stats,
+                     "batch_stats": bstats},
+                    Sig(x, 1), Sig(f0, 1),
+                    rngs={"noise": rng, "dropout": rng},
+                    method=lambda m, *a, **kw: m.validation_step(*a, **kw)),
+                in_shardings=(repl, repl, repl, data, data, repl))
+        return self._compiled
+
+    # -- loops ------------------------------------------------------------
+    def validate(self, state: TrainState, loader, max_batches=None) -> Dict:
+        self._compile()
+        totals: Dict[str, float] = {}
+        n = 0
+        rng = jax.random.key(self.seed + 999)
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            x, f0 = batch[:2]
+            out = self._val_step(state.params, state.stats,
+                                 state.batch_stats, jnp.asarray(x),
+                                 jnp.asarray(f0), rng)
+            for k, v in out.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+        return {("val_" + k): v / max(n, 1) for k, v in totals.items()}
+
+    def fit(self, datamodule, state: Optional[TrainState] = None,
+            ckpt_path: Optional[str] = None) -> TrainState:
+        datamodule.setup("fit")
+        train_loader = datamodule.train_dataloader()
+        val_loader = datamodule.val_dataloader()
+
+        it = iter(train_loader)
+        first = next(it)
+        if state is None:
+            state = self.init_state(first)
+            if ckpt_path:
+                state = self.ckpt.restore_into(ckpt_path, state)
+        step_fn = self._compile()
+
+        rng = jax.random.key(self.seed + 1)
+        batch = first
+        t0 = time.time()
+        samples = 0
+        while state.step < self.max_steps:
+            rng, sub = jax.random.split(rng)
+            x, f0 = batch[:2]
+            (state.params, state.opt_state, state.stats, state.batch_stats,
+             metrics) = step_fn(state.params, state.opt_state, state.stats,
+                                state.batch_stats, jnp.asarray(x),
+                                jnp.asarray(f0), sub)
+            state.step += 1
+            samples += x.shape[0] * x.shape[1]
+
+            if state.step % self.log_every_steps == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                m["samples_per_sec"] = samples / dt
+                t0, samples = time.time(), 0
+                self.logger.log(state.step, m, "train_")
+                print(f"step {state.step}: " + ", ".join(
+                    f"{k}={v:.4g}" for k, v in m.items()), flush=True)
+                if self.check_finite and not math.isfinite(m["loss"]):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {state.step}")
+
+            if state.step % self.val_every_steps == 0 or \
+                    state.step >= self.max_steps:
+                val_metrics = self.validate(state, val_loader)
+                self.logger.log(state.step, val_metrics)
+                print(f"[val @ {state.step}] " + ", ".join(
+                    f"{k}={v:.4g}" for k, v in val_metrics.items()),
+                    flush=True)
+                self.ckpt.save(state, val_metrics.get("val_loss"))
+
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(train_loader)
+                batch = next(it)
+
+        self.ckpt.save_last(state)
+        return state
+
+    def test(self, datamodule, state: TrainState) -> Dict:
+        datamodule.setup("test")
+        loader = datamodule.test_dataloader()
+        repl = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P("data"))
+        test_step = jax.jit(
+            lambda params, stats, bstats, x, f0, rng: self.task.apply(
+                {"params": params, "stats": stats, "batch_stats": bstats},
+                Sig(x, 1), Sig(f0, 1),
+                rngs={"noise": rng, "dropout": rng},
+                method=lambda m, *a, **kw: m.test_step(*a, **kw)),
+            in_shardings=(repl, repl, repl, data, data, repl))
+        totals: Dict[str, float] = {}
+        weights = 0.0
+        rng = jax.random.key(self.seed + 12345)
+        for batch in loader:
+            x, f0 = batch[:2]
+            out = test_step(state.params, state.stats, state.batch_stats,
+                            jnp.asarray(x), jnp.asarray(f0), rng)
+            n = float(out.pop("N", x.shape[0]))
+            for k, v in out.items():
+                totals[k] = totals.get(k, 0.0) + float(v) * n
+            weights += n
+        result = {("avg_" + k): v / max(weights, 1)
+                  for k, v in totals.items()}
+        result["avg_mss_loss"] = result.pop("avg_loss", float("nan"))
+        print(json.dumps(result))
+        self.logger.log(-1, result)
+        return result

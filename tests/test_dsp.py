@@ -1,0 +1,149 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.signal import get_window as scipy_window
+
+from golf_tpu.ops import dsp
+
+
+def test_window_matches_torch_periodic():
+    # torch.hann_window(n) == hann periodic
+    w = dsp.get_window_fn("hanning")(8)
+    n = np.arange(8)
+    ref = 0.5 * (1 - np.cos(2 * np.pi * n / 8))
+    np.testing.assert_allclose(w, ref, atol=1e-12)
+
+
+def test_fir_filt_matches_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 30)).astype(np.float32)
+    h = rng.standard_normal((2, 30, 5)).astype(np.float32)
+    y = dsp.fir_filt(jnp.asarray(x), jnp.asarray(h))
+    # reference: pad left K-1, frames ending at n, dot with flipped h
+    ref = np.zeros_like(x)
+    for b in range(2):
+        for n in range(30):
+            acc = 0.0
+            for k in range(5):
+                idx = n - k
+                if idx >= 0:
+                    acc += h[b, n, k] * x[b, idx]
+            ref[b, n] = acc
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_coeff_product():
+    # (1 + 2x)(3 + x) = 3 + 7x + 2x^2
+    polys = jnp.asarray([[[1.0, 2.0]], [[3.0, 1.0]]])  # (N=2, B=1, 2)
+    prod = dsp.coeff_product(polys)
+    np.testing.assert_allclose(prod, [[3.0, 7.0, 2.0]], atol=1e-5)
+
+
+def test_biquads2lpc():
+    bi = jnp.asarray([[[1.0, 0.5, 0.25], [1.0, -0.3, 0.1]]])  # (1, 2, 3)
+    lpc = dsp.biquads2lpc(bi)
+    ref = np.polymul([1, 0.5, 0.25], [1, -0.3, 0.1])[1:]
+    np.testing.assert_allclose(lpc[0], ref, atol=1e-5)
+
+
+def test_rc2lpc_stability():
+    rng = np.random.default_rng(1)
+    rc = jnp.tanh(jnp.asarray(rng.standard_normal((4, 3, 22))) * 0.7)
+    a = dsp.rc2lpc(rc)
+    roots_ok = []
+    for flat in np.asarray(a).reshape(-1, 22):
+        r = np.roots(np.concatenate([[1.0], flat]))
+        # exact step-up is stable for |k|<1; allow fp32 rounding slack
+        roots_ok.append(np.all(np.abs(r) < 1.0 + 1e-4))
+    assert all(roots_ok)
+
+
+def test_rc2lpc_matches_stepup():
+    # order-2 closed form: a = [k0(1+k1), k1]
+    rc = jnp.asarray([[[0.5, -0.3]]])
+    a = dsp.rc2lpc(rc)
+    np.testing.assert_allclose(a[0, 0], [0.5 * (1 - 0.3), -0.3], atol=1e-6)
+
+
+def test_hilbert_matches_scipy():
+    from scipy.signal import hilbert as scipy_hilbert
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(64)
+    h = dsp.hilbert(jnp.asarray(x))
+    ref = scipy_hilbert(x)
+    np.testing.assert_allclose(np.asarray(h), ref, atol=1e-5)
+
+
+def test_minimum_phase_fir_magnitude():
+    # the min-phase kernel must preserve the target magnitude response
+    rng = np.random.default_rng(3)
+    log_mag = jnp.asarray(rng.standard_normal((1, 129)) * 0.5)
+    k = dsp.minimum_phase_fir(log_mag)
+    assert k.shape == (1, 256)
+    mag = np.abs(np.fft.rfft(np.asarray(k[0])))
+    np.testing.assert_allclose(mag, np.exp(np.asarray(log_mag[0])),
+                               rtol=1e-3, atol=1e-4)
+    # minimum phase -> energy front-loaded (zero-phase would be ~0.5)
+    e_front = np.sum(np.asarray(k[0, :64]) ** 2)
+    e_total = np.sum(np.asarray(k[0]) ** 2)
+    assert e_front / e_total > 0.65
+
+
+def test_zero_phase_fir_symmetric():
+    log_mag = jnp.asarray(np.random.default_rng(4).standard_normal((1, 65)))
+    k = dsp.zero_phase_fir(log_mag)
+    assert k.shape == (1, 128)
+    kk = np.asarray(k[0])
+    # fftshifted zero-phase kernel: symmetric about index n/2
+    np.testing.assert_allclose(kk[1:], kk[1:][::-1], atol=1e-5)
+
+
+def test_lsp2lpc_roundtrip():
+    # start from a stable polynomial, compute its LSPs with a reference
+    # routine, convert back
+    a_true = np.array([1.0, -0.9, 0.4, -0.1])
+    p = len(a_true) - 1
+    # reference LSP computation via root-finding on P/Q
+    P = np.concatenate([a_true, [0]]) - np.concatenate([[0], a_true[::-1]])
+    Q = np.concatenate([a_true, [0]]) + np.concatenate([[0], a_true[::-1]])
+    angles = []
+    for poly in (P, Q):
+        r = np.roots(poly)
+        ang = np.angle(r)
+        ang = ang[(ang > 1e-9) & (ang < np.pi - 1e-9)]
+        angles.extend(ang)
+    w = np.sort(angles)
+    assert len(w) == p
+    lsp_in = jnp.asarray(np.concatenate([[0.0], w]))[None]
+    a_rec = dsp.lsp2lpc(lsp_in)
+    np.testing.assert_allclose(a_rec[0], a_true, atol=1e-5)
+
+
+def test_radiation_filter():
+    # unwindowed kernel is antisymmetric (differentiator-like); the
+    # torch-style periodic window (as in the reference) breaks exact
+    # antisymmetry, so test the raw kernel
+    w = dsp.get_radiation_time_filter(8, None)
+    assert w.shape == (17,)
+    assert w[8] == 0
+    np.testing.assert_allclose(w, -w[::-1], atol=1e-12)
+    ww = dsp.get_radiation_time_filter(8, dsp.get_window_fn("hanning"))
+    assert ww.shape == (17,)
+
+
+def test_levinson():
+    from scipy.signal import lfilter as scipy_lfilter
+    rng = np.random.default_rng(5)
+    # AR(3) process
+    a_true = np.array([1.0, -0.7, 0.2, -0.05])
+    x = scipy_lfilter([1.0], a_true, rng.standard_normal(50000))
+    r = np.correlate(x, x, "full")[len(x) - 1:len(x) + 3] / len(x)
+    a_est = dsp.levinson(jnp.asarray(r), 3)
+    np.testing.assert_allclose(a_est, a_true, atol=0.05)
+
+
+def test_smooth_phase_offset():
+    po = jnp.asarray([[0.1, 0.9, 0.05]])
+    out = dsp.smooth_phase_offset(po)
+    # diffs wrapped into [-0.5, 0.5]: 0.8 -> -0.2, -0.85 -> 0.15
+    np.testing.assert_allclose(out[0], [0.1, -0.1, 0.05], atol=1e-6)
