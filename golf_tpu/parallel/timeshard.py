@@ -1,0 +1,100 @@
+"""Time-axis sharding of the sample-wise IIR scan.
+
+The north-star scaling story (SURVEY.md §2.5): shard the *time* axis of the
+synthesis chain across chips. The all-pole recurrence carries an order-p
+boundary state chip-to-chip; because the system is linear, each device
+summarizes its whole chunk as an affine map s_out = M s_in + v (p x p — a
+few hundred floats), one tiny ``all_gather`` moves every summary to every
+device (ICI), each device composes its prefix locally, and a second local
+pass applies the true incoming state. Communication is O(p^2) per device
+regardless of T — the scan itself never crosses chips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.allpole import _allpole_blocked, _allpole_impl, _choose_block
+
+
+def _local_summary(x: jax.Array, a: jax.Array, block_size: int):
+    """Affine summary (M, v) of a full local chunk: run the blocked pass A/B
+    and take the composed end-state map."""
+    bsz, t = x.shape
+    p = a.shape[-1]
+    l = min(block_size, t)
+    k = (t + l - 1) // l
+    pad = k * l - t
+    xp = jnp.pad(x, ((0, 0), (0, pad))).reshape(bsz, k, l)
+    ap = jnp.pad(a, ((0, 0), (0, pad), (0, 0))).reshape(bsz, k, l, p)
+
+    eye = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(p, dtype=x.dtype),
+                         jnp.zeros((p, 1), x.dtype)], axis=1),
+        (bsz, k, p, p + 1))
+
+    def step(w, inp):
+        x_t, a_t = inp
+        r = -jnp.einsum("bkp,bkpq->bkq", a_t, w)
+        r = r.at[..., p].add(x_t)
+        w = jnp.concatenate([r[:, :, None, :], w[:, :, :-1, :]], axis=2)
+        return w, None
+
+    w_end, _ = lax.scan(step, eye,
+                        (jnp.moveaxis(xp, 2, 0), jnp.moveaxis(ap, 2, 0)))
+    m_blk = w_end[..., :p]
+    v_blk = w_end[..., p]
+
+    def combine(e1, e2):
+        m1, v1 = e1
+        m2, v2 = e2
+        return (jnp.einsum("bkij,bkjl->bkil", m2, m1),
+                jnp.einsum("bkij,bkj->bki", m2, v1) + v2)
+
+    m_cum, v_cum = lax.associative_scan(combine, (m_blk, v_blk), axis=1)
+    return m_cum[:, -1], v_cum[:, -1]     # (B, p, p), (B, p)
+
+
+def allpole_timesharded(x: jax.Array, a: jax.Array, mesh: Mesh,
+                        time_axis: str = "time",
+                        block_size: Optional[int] = None) -> jax.Array:
+    """Forward time-sharded all-pole filter. x: (B, T) with T divisible by
+    the mesh's time-axis size; a: (B, T, p)."""
+    p = a.shape[-1]
+    n_shards = mesh.shape[time_axis]
+    t_local = x.shape[1] // n_shards
+    bs = block_size or _choose_block(t_local)
+
+    def local_fn(x_blk, a_blk):
+        # x_blk: (B, T/n), a_blk: (B, T/n, p)
+        m_dev, v_dev = _local_summary(x_blk, a_blk, bs)
+        # gather every device's summary (tiny: p*(p+1) floats each)
+        m_all = lax.all_gather(m_dev, time_axis)     # (n, B, p, p)
+        v_all = lax.all_gather(v_dev, time_axis)
+        idx = lax.axis_index(time_axis)
+
+        def compose(carry, mv):
+            m, v = mv
+            new = (jnp.einsum("bij,bj->bi", m, carry) + v)
+            return new, carry
+
+        # prefix: incoming state of shard k = composition of shards < k
+        zi0 = lax.pvary(jnp.zeros((x_blk.shape[0], p), x_blk.dtype),
+                        (time_axis,))
+        _, prefixes = lax.scan(compose, zi0, (m_all, v_all))
+        s_in = prefixes[idx]
+        return _allpole_impl(x_blk, a_blk, s_in, bs)
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, time_axis), P(None, time_axis, None)),
+        out_specs=P(None, time_axis),
+        check_vma=False)
+    return fn(x.astype(jnp.float32), a.astype(jnp.float32))

@@ -1,0 +1,187 @@
+"""CLI runner: fit / validate / test / predict subcommands.
+
+Equivalent of the reference's LightningCLI entry points
+(``autoencode.py``, ``main.py``) + ``ltng/cli.py``'s prediction writer and
+config-snapshot callback:
+
+    python autoencode.py fit --config cfg/ae/vctk.yaml \
+        --model cfg/ae/decoder/golf.yaml [key.dotted.path=value ...]
+
+``--model FILE`` merges the decoder subtree into ``model.init_args`` the
+way jsonargparse does; dotted overrides apply last; the resolved config is
+snapshotted into the run dir (rank-0 only on multihost).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import yaml
+
+from ..config.registry import (apply_overrides, deep_update, instantiate,
+                               load_config, resolve_interpolations,
+                               save_config)
+from ..core.sig import Sig
+
+
+def _parse_args(argv: List[str]):
+    p = argparse.ArgumentParser(description="golf_tpu CLI")
+    p.add_argument("subcommand",
+                   choices=["fit", "validate", "test", "predict"])
+    p.add_argument("--config", action="append", default=[],
+                   help="YAML config file(s), merged in order")
+    p.add_argument("--model", default=None,
+                   help="YAML file merged into model.init_args "
+                        "(decoder subtree)")
+    p.add_argument("--ckpt_path", default=None)
+    p.add_argument("--run_dir", default=None)
+    p.add_argument("overrides", nargs="*",
+                   help="dotted key=value overrides")
+    return p.parse_args(argv)
+
+
+def build_from_config(cfg: Dict):
+    """Instantiate (task, datamodule, trainer_kwargs) from a resolved
+    config tree."""
+    from .ae import build_voice_autoencoder
+    from .vocoder import build_ddsp_vocoder
+    from .world_ae import WORLDAutoEncoder
+    from .lpcnet import build_lpcnet_vocoder
+
+    model_node = cfg["model"]
+    class_path = model_node.get("class_path", "ltng.ae.VoiceAutoEncoder")
+    init_args = model_node.get("init_args", model_node)
+    if class_path.endswith("VoiceAutoEncoder"):
+        task = build_voice_autoencoder(init_args)
+    elif class_path.endswith("DDSPVocoder"):
+        task = build_ddsp_vocoder(init_args)
+    elif class_path.endswith("WORLDAutoEncoder"):
+        task = WORLDAutoEncoder(
+            sample_rate=init_args.get("sample_rate", 24000),
+            hop_length=init_args.get("hop_length", 240),
+            criterion=instantiate(init_args["criterion"]))
+    elif class_path.endswith("LPCNetVocoder"):
+        task = build_lpcnet_vocoder(init_args)
+    else:
+        raise ValueError(f"Unknown task class: {class_path}")
+
+    datamodule = instantiate(cfg["data"], tuples=False)
+
+    trainer_cfg = cfg.get("trainer", {})
+    opt_cfg = cfg.get("optimizer", {})
+    opt_init = opt_cfg.get("init_args", {})
+    opt_name = opt_cfg.get("class_path", "torch.optim.Adam")
+    opt_name = opt_name.rsplit(".", 1)[-1].lower()
+    trainer_kwargs = dict(
+        max_steps=trainer_cfg.get("max_steps", 1_000_000),
+        lr=opt_init.get("lr", 1e-4),
+        grad_clip=trainer_cfg.get("gradient_clip_val", 0.5),
+        optimizer=opt_name if opt_name in ("adam", "adamw", "sgd")
+        else "adam",
+        seed=cfg.get("seed_everything", 2434) or 2434,
+    )
+    return task, datamodule, trainer_kwargs
+
+
+class PredictionWriter:
+    """Write per-utterance wavs preserving relative paths (reference
+    ``MyPredictionWriter``, ``ltng/cli.py:15-40``)."""
+
+    def __init__(self, output_dir: str, sample_rate: int):
+        self.output_dir = output_dir
+        self.sample_rate = sample_rate
+
+    def write(self, rel_path: str, audio: np.ndarray):
+        from ..utils.wav import write_wav
+        out = os.path.join(self.output_dir, rel_path)
+        write_wav(out, np.asarray(audio).reshape(-1), self.sample_rate)
+
+
+def run(argv: List[str], default_config: Optional[str] = None):
+    args = _parse_args(argv)
+
+    cfg: Dict = {}
+    configs = list(args.config)
+    if not configs and default_config:
+        configs = [default_config]
+    for path in configs:
+        with open(path) as f:
+            cfg = deep_update(cfg, yaml.safe_load(f))
+    if args.model:
+        with open(args.model) as f:
+            model_extra = yaml.safe_load(f)
+        cfg.setdefault("model", {}).setdefault("init_args", {})
+        cfg["model"]["init_args"] = deep_update(
+            cfg["model"]["init_args"], model_extra)
+    if args.overrides:
+        cfg = apply_overrides(cfg, args.overrides)
+    cfg = resolve_interpolations(cfg)
+
+    run_dir = args.run_dir or cfg.get("run_dir") or os.path.join(
+        "runs", time.strftime("%Y%m%d-%H%M%S"))
+    os.makedirs(run_dir, exist_ok=True)
+
+    import jax
+    if jax.process_index() == 0:
+        save_config(cfg, os.path.join(run_dir, "config.yaml"))
+
+    task, datamodule, trainer_kwargs = build_from_config(cfg)
+
+    from ..train.loop import Trainer
+    trainer = Trainer(task, run_dir=run_dir, **trainer_kwargs)
+
+    ckpt_path = args.ckpt_path or cfg.get("ckpt_path")
+
+    if args.subcommand == "fit":
+        trainer.fit(datamodule, ckpt_path=ckpt_path)
+    elif args.subcommand == "validate":
+        datamodule.setup("fit")
+        state = _restore_state(trainer, datamodule, ckpt_path)
+        print(json.dumps(trainer.validate(
+            state, datamodule.val_dataloader())))
+    elif args.subcommand == "test":
+        datamodule.setup("fit")
+        state = _restore_state(trainer, datamodule, ckpt_path)
+        trainer.test(datamodule, state)
+    elif args.subcommand == "predict":
+        datamodule.setup("fit")
+        state = _restore_state(trainer, datamodule, ckpt_path)
+        datamodule.setup("predict")
+        _predict(trainer, task, state, datamodule, run_dir, cfg)
+    return 0
+
+
+def _restore_state(trainer, datamodule, ckpt_path):
+    loader = datamodule.train_dataloader() if datamodule.train_dataset \
+        else datamodule.val_dataloader()
+    batch = next(iter(loader))
+    state = trainer.init_state(batch)
+    if ckpt_path:
+        state = trainer.ckpt.restore_into(ckpt_path, state)
+    return state
+
+
+def _predict(trainer, task, state, datamodule, run_dir, cfg):
+    import jax
+    import jax.numpy as jnp
+    sr = cfg.get("model", {}).get("init_args", {}).get("sample_rate", 24000)
+    writer = PredictionWriter(os.path.join(run_dir, "predictions"), sr)
+    loader = datamodule.predict_dataloader()
+    for batch in loader:
+        x, f0, rel = batch[0], batch[1], batch[2]
+        out, _ = task.apply(
+            {"params": state.params, "stats": state.stats,
+             "batch_stats": state.batch_stats},
+            Sig(jnp.asarray(x), 1), Sig(jnp.asarray(f0), 1),
+            rngs={"noise": jax.random.key(0), "dropout": jax.random.key(0)},
+            method=lambda m, *a, **kw: m.predict_step(*a, **kw))
+        audio = np.asarray(out.data if isinstance(out, Sig) else out)
+        writer.write(rel[0] if isinstance(rel, (list, tuple)) else rel,
+                     audio[0])
+    print(f"predictions written to {writer.output_dir}")

@@ -379,3 +379,63 @@ class MIR1K(DataModule):
             self.train_dataset = MIR1KDataset(
                 self.wav_dir, self.segment, self.seg_overlap,
                 self.upsample_f0, self.in_hertz)
+
+
+class SyntheticVoiceDataset:
+    """Self-contained synthetic voice-like dataset (harmonic source with a
+    random f0 contour + filtered noise) for smoke tests, benchmarks, and
+    CI — no corpus required."""
+
+    def __init__(self, n_items: int = 64, duration: float = 2.0,
+                 sample_rate: int = 24000, seed: int = 0):
+        self.n = n_items
+        self.sample_rate = sample_rate
+        self.t = int(duration * sample_rate)
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index: int):
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        t = np.arange(self.t) / self.sample_rate
+        # smooth random f0 contour in 80..400 Hz with unvoiced gaps
+        knots = rng.uniform(100, 350, 8)
+        f0 = np.interp(np.linspace(0, 7, self.t), np.arange(8), knots)
+        voiced = np.interp(np.linspace(0, 7, self.t), np.arange(8),
+                           rng.uniform(0, 1, 8)) > 0.3
+        f0 = np.where(voiced, f0, 0.0)
+        phase = np.cumsum(np.where(f0 > 0, f0, 0) / self.sample_rate)
+        x = np.zeros(self.t)
+        for k in range(1, 9):
+            x += np.sin(2 * np.pi * k * phase) / k
+        x *= voiced.astype(float)
+        x += rng.standard_normal(self.t) * 0.03
+        x *= 0.3 / max(np.abs(x).max(), 1e-6)
+        return x.astype(np.float32), f0.astype(np.float32)
+
+
+class Synthetic(DataModule):
+    def __init__(self, batch_size: int = 8, n_items: int = 64,
+                 duration: float = 2.0, sample_rate: int = 24000,
+                 seed: int = 0, wav_dir: str = "", overlap: float = 0.0):
+        super().__init__(batch_size, wav_dir, duration, overlap, seed=seed)
+        self.n_items = n_items
+        self.duration = duration
+        self._sr = sample_rate
+
+    def _make(self, split):
+        offs = {"train": 0, "valid": 1, "test": 2}[split]
+        n = self.n_items if split == "train" else max(4, self.n_items // 8)
+        return SyntheticVoiceDataset(n, self.duration, self._sr,
+                                     seed=self.seed + offs * 7919)
+
+    def setup(self, stage=None):
+        if stage == "fit":
+            self.train_dataset = self._make("train")
+        if stage in ("fit", "validate"):
+            self.valid_dataset = self._make("valid")
+        if stage == "test":
+            self.test_dataset = self._make("test")
+        if stage == "predict":
+            self.predict_dataset = self._make("test")

@@ -1,0 +1,206 @@
+"""LPCNet trainer (reference ``ltng/lpcnet.py``).
+
+Pre-emphasis -> frame-rate net -> LAR -> LPC coefficients; sample-rate
+dual-GRU over the mu-law residual with interpolated cross-entropy +
+regularizer; optional LPC-matching loss against ground-truth LAR; test =
+autoregressive per-sample generation (as a ``lax.scan``) + f0 cents MAE;
+per-step LR decay 1/(1+5e-5*step).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.sig import Sig
+from ..models.lpcnet import (SampleNet, mu_law_decode_continuous,
+                             mu_law_encode_continuous)
+from ..ops.cepstrum import lar2rc, lpc2rc, lpc_from_frames, rc2lar
+from ..ops.dsp import fir_filt, get_window_fn, rc2lpc
+from .vocoder import ScaledLogMelSpectrogram
+
+
+def preemphasis(x: jax.Array, alpha: float) -> jax.Array:
+    return jnp.concatenate([x[:, :1], x[:, 1:] - alpha * x[:, :-1]], axis=1)
+
+
+def deemphasis(x: jax.Array, alpha: float) -> jax.Array:
+    from ..ops.allpole import allpole_const
+    a = jnp.full((x.shape[0], 1), -alpha, x.dtype)
+    return allpole_const(x, a)
+
+
+class LPCNetVocoder(nn.Module):
+    frame_decoder: nn.Module
+    sample_decoder: SampleNet
+    feature_trsfm: ScaledLogMelSpectrogram
+    lpc_order: int = 22
+    quantization_channels: int = 256
+    alpha: float = 0.85
+    window: str = "hanning"
+    sample_rate: int = 24000
+    hop_length: int = 120
+    gamma: float = 1.0
+    match_lpc: bool = False
+    lpc_frame_length: int = 1024
+
+    def _frames_to_lpc(self, feats: Sig, train: bool):
+        # the first lpc_order channels of f are LAR logits; the FULL f is
+        # also the sample-net conditioning (reference :162-174)
+        f = self.frame_decoder(
+            feats, train=train,
+            out_channels=self.sample_decoder.condition_channels)
+        lar = f.data[..., : self.lpc_order] * 2
+        lpc = rc2lpc(lar2rc(lar))
+        return f, lar, lpc
+
+    def _prepare(self, x: jax.Array, train: bool):
+        s = preemphasis(x, self.alpha)
+        feats = self.feature_trsfm(x, train=train)
+        f_sig, lar, lpc = self._frames_to_lpc(feats, train)
+        f = jnp.tanh(Sig(f_sig.data, f_sig.hop)
+                     .reduce_hop_length().data)
+        up_lpc = Sig(lpc, self.hop_length).reduce_hop_length().data
+        t = min(up_lpc.shape[1], s.shape[1])
+        s, up_lpc, f = s[:, :t], up_lpc[:, :t], f[:, :t]
+        # prediction p[n] = -sum_i a_i[n] s[n-i]; reference computes it as
+        # fir_filt(s[:-1], a[1:]) shifted by one
+        p = fir_filt(s[:, :-1], up_lpc[:, 1:])
+        p = jnp.concatenate([jnp.zeros_like(p[:, :1]), p], axis=1)
+        e = s + p
+        return s, f, up_lpc, p, e, lar
+
+    def interp_loss(self, e_mu: jax.Array, logits: jax.Array):
+        """Interpolated cross-entropy (reference :127-139). logits (B,T,Q),
+        e_mu (B,T)."""
+        q = logits.shape[-1]
+        lower = jnp.clip(jnp.floor(e_mu).astype(jnp.int32), 0, q - 2)
+        p = jnp.clip(e_mu - lower, 0, 1)
+        log_prob = jax.nn.log_softmax(logits, axis=-1)
+        lp_low = jnp.take_along_axis(log_prob, lower[..., None], -1)[..., 0]
+        lp_up = jnp.take_along_axis(log_prob, lower[..., None] + 1,
+                                    -1)[..., 0]
+        ll = jnp.mean(lp_low * (1 - p) + lp_up * p)
+        mu = self.quantization_channels - 1.0
+        reg = jnp.mean(jnp.abs(e_mu - 0.5 * mu)) * math.log1p(mu) / mu * 2
+        return ll, reg
+
+    def _gt_lar(self, x: jax.Array) -> jax.Array:
+        frames_len = self.lpc_frame_length
+        from ..ops.stft import frame_signal
+        frames = frame_signal(x + 1e-7, frames_len, self.hop_length,
+                              center=False)
+        win = jnp.asarray(get_window_fn(self.window)(frames_len),
+                          x.dtype)
+        ga = lpc_from_frames(frames, self.lpc_order, win)
+        rc = lpc2rc(ga[..., 1:])
+        return rc2lar(jnp.clip(rc, -0.999999, 0.999999))
+
+    def training_step(self, x: Sig, f0_in_hz: Sig,
+                      train: bool = True) -> Tuple[jax.Array, Dict]:
+        xd = x.data
+        s, f, up_lpc, p, e, lar = self._prepare(xd, train)
+        q = self.quantization_channels
+        p_mu = mu_law_encode_continuous(p, q)
+        e_mu = mu_law_encode_continuous(e, q)
+        s_mu = mu_law_encode_continuous(s, q)
+
+        noise = jax.random.normal(self.make_rng("noise"),
+                                  e_mu[:, :-1].shape) / q
+        e_input = e_mu[:, :-1] + noise
+        logits = self.sample_decoder(f[:, 1:], p_mu[:, 1:], s_mu[:, :-1],
+                                     e_input)
+        ll, reg = self.interp_loss(e_mu[:, 1:], logits)
+        loss = -ll + self.gamma * reg
+        metrics = {"ll": ll, "reg": reg}
+        if self.match_lpc:
+            gt = jax.lax.stop_gradient(self._gt_lar(xd))
+            fmin = min(gt.shape[1], lar.shape[1])
+            lar_l2 = jnp.mean((lar[:, :fmin] - gt[:, :fmin]) ** 2)
+            loss = loss + lar_l2
+            metrics["lar_l2"] = lar_l2
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def validation_step(self, x: Sig, f0_in_hz: Sig) -> Dict:
+        _, metrics = self.training_step(x, f0_in_hz, train=False)
+        return metrics
+
+    def generate(self, x: Sig, temperature: float = 2.0) -> jax.Array:
+        """Autoregressive resynthesis (reference test_step :285-330) as one
+        ``lax.scan`` over samples."""
+        xd = x.data
+        s, f, up_lpc, _, _, _ = self._prepare(xd, train=False)
+        q = self.quantization_channels
+        order = up_lpc.shape[-1]
+        b, t = f.shape[0], f.shape[1]
+        lpc_flip = jnp.flip(up_lpc, -1)
+
+        def step(carry, inp):
+            s_buf, e_mu_prev, state_a, state_b, key = carry
+            f_t, a_t = inp       # (B, C), (B, order) (already flipped)
+            p = -jnp.sum(s_buf * a_t, axis=1)
+            logits, (state_a, state_b) = self.sample_decoder.sample_forward(
+                f_t, mu_law_encode_continuous(p, q),
+                mu_law_encode_continuous(s_buf[:, -1], q),
+                e_mu_prev, (state_a, state_b))
+            key, sub = jax.random.split(key)
+            e_mu = jax.random.categorical(
+                sub, logits * temperature, axis=-1).astype(jnp.float32)
+            e = mu_law_decode_continuous(e_mu, q)
+            pred = jnp.clip(e + p, -1, 1)
+            s_buf = jnp.concatenate([s_buf[:, 1:], pred[:, None]], axis=1)
+            return (s_buf, e_mu, state_a, state_b, key), pred
+
+        init = (jnp.zeros((b, order)),
+                jnp.full((b,), (q - 1) * 0.5),
+                jnp.zeros((b, self.sample_decoder.a_channels)),
+                jnp.zeros((b, self.sample_decoder.b_channels)),
+                self.make_rng("noise"))
+        _, preds = jax.lax.scan(
+            step, init,
+            (jnp.moveaxis(f, 1, 0), jnp.moveaxis(lpc_flip, 1, 0)))
+        s_hat = jnp.moveaxis(preds, 0, 1)
+        return deemphasis(s_hat, self.alpha)
+
+
+def build_lpcnet_vocoder(model_cfg: Dict) -> LPCNetVocoder:
+    from ..config.registry import instantiate, _listify
+    from ..models.mel import Mel2Control
+
+    fd_node = model_cfg.get("frame_decoder", {})
+    if "class_path" in fd_node:
+        frame_decoder = instantiate(fd_node)
+    else:
+        frame_decoder = Mel2Control(in_channels=80)
+
+    sd_args = dict(model_cfg.get("sample_decoder", {}).get("init_args", {}))
+    sd_args.setdefault("quantization_channels",
+                       model_cfg.get("quantization_channels", 256))
+    sample_decoder = SampleNet(**_listify(sd_args))
+
+    feat_args = dict(model_cfg.get("feature_trsfm", {}).get("init_args", {}))
+    feat_args.setdefault("sample_rate", model_cfg.get("sample_rate", 24000))
+    feat_args.setdefault("hop_length", model_cfg.get("hop_length", 120))
+    feat_args.setdefault("window", model_cfg.get("window", "hanning"))
+    feature_trsfm = ScaledLogMelSpectrogram(**_listify(feat_args))
+
+    return LPCNetVocoder(
+        frame_decoder=frame_decoder, sample_decoder=sample_decoder,
+        feature_trsfm=feature_trsfm,
+        lpc_order=model_cfg.get("lpc_order", 22),
+        quantization_channels=model_cfg.get("quantization_channels", 256),
+        alpha=model_cfg.get("alpha", 0.85),
+        window=model_cfg.get("window", "hanning"),
+        sample_rate=model_cfg.get("sample_rate", 24000),
+        hop_length=model_cfg.get("hop_length", 120),
+        gamma=model_cfg.get("gamma", 1.0),
+        match_lpc=model_cfg.get("match_lpc", False),
+        lpc_frame_length=model_cfg.get("lpc_frame_lengeth",
+                                       model_cfg.get("lpc_frame_length",
+                                                     1024)))

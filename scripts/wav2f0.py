@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Batch f0 extraction -> .pv text files (reference scripts/wav2f0.py).
+
+Methods: 'dio' (default; WORLD-lite YIN-based, 5 ms hop),
+'native' (C++ worldlite if built). 5 ms hop, floor/ceil flags.
+"""
+import argparse
+import pathlib
+import sys
+from multiprocessing import Pool
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from golf_tpu.utils.wav import read_wav  # noqa: E402
+
+
+def process(task):
+    path, out_path, floor, ceil, method = task
+    from golf_tpu.utils import native
+    x, sr = read_wav(str(path))
+    if x.ndim > 1:
+        x = x.mean(-1)
+    f0, _ = native.dio(x.astype(np.float64), sr, f0_floor=floor,
+                       f0_ceil=ceil, frame_period=5.0)
+    np.savetxt(out_path, f0, fmt="%.3f")
+    return str(path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("wav_dir")
+    ap.add_argument("--suffix", default=".wav")
+    ap.add_argument("--f0-floor", type=float, default=65.0)
+    ap.add_argument("--f0-ceil", type=float, default=1047.0)
+    ap.add_argument("--method", default="dio",
+                    choices=["dio", "native"])
+    ap.add_argument("--workers", type=int, default=4)
+    args = ap.parse_args()
+
+    wav_dir = pathlib.Path(args.wav_dir)
+    tasks = []
+    for f in sorted(wav_dir.glob("**/*" + args.suffix)):
+        tasks.append((f, f.with_suffix(".pv"), args.f0_floor,
+                      args.f0_ceil, args.method))
+    with Pool(args.workers) as pool:
+        for name in pool.imap_unordered(process, tasks):
+            print(name)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,286 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from golf_tpu.core.sig import Sig
+
+
+def _init_and_run(module, *args, method=None, rngs=None, **kwargs):
+    rngs = rngs or {}
+    all_rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+                "dropout": jax.random.key(2), **rngs}
+    if method is None:
+        variables = module.init(all_rngs, *args, **kwargs)
+        out = module.apply(variables, *args,
+                           rngs={k: v for k, v in all_rngs.items()
+                                 if k != "params"}, **kwargs)
+    else:
+        variables = module.init(all_rngs, *args, method=method, **kwargs)
+        out = module.apply(variables, *args, method=method,
+                           rngs={k: v for k, v in all_rngs.items()
+                                 if k != "params"}, **kwargs)
+    return out, variables
+
+
+# ---------------------------------------------------------------------------
+# Glottal table construction grid (reference tests/test_glottal.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("table_type", ["flow", "derivative"])
+@pytest.mark.parametrize("normalize_method", ["constant_power", "peak"])
+@pytest.mark.parametrize("align_peak", [True, False])
+@pytest.mark.parametrize("lf_v2", [False, True])
+def test_glottal_table_build(table_type, normalize_method, align_peak,
+                             lf_v2):
+    from golf_tpu.ops.lf import build_glottal_table
+    tbl = build_glottal_table(
+        table_size=8, table_type=table_type,
+        normalize_method=normalize_method, align_peak=align_peak,
+        lf_v2=lf_v2, points=128)
+    assert tbl.shape == (8, 128)
+    assert np.all(np.isfinite(tbl))
+    if normalize_method == "constant_power":
+        np.testing.assert_allclose(
+            np.linalg.norm(tbl, axis=1), np.sqrt(128), rtol=1e-4)
+
+
+def test_indexed_glottal_forward_shape():
+    from golf_tpu.models.synth import IndexedGlottalFlowTable
+    osc = IndexedGlottalFlowTable(table_size=16, points=128, lf_v2=True)
+    b, t, hop = 2, 960, 96
+    phase = Sig(jnp.full((b, t), 0.01), 1)
+    weight = Sig(jnp.full((b, t // hop), 0.5), hop)
+    out, _ = _init_and_run(osc, phase, weight)
+    assert out.hop == 1
+    assert out.shape[0] == b
+    assert np.all(np.isfinite(np.asarray(out.data)))
+
+
+def test_indexed_glottal_oversampling():
+    from golf_tpu.models.synth import IndexedGlottalFlowTable
+    osc = IndexedGlottalFlowTable(table_size=16, points=128, lf_v2=True,
+                                  oversampling=4, equal_energy=True)
+    b, t, hop = 1, 480, 96
+    phase = Sig(jnp.full((b, t), 0.01), 1)
+    weight = Sig(jnp.full((b, t // hop), 0.5), hop)
+    out, _ = _init_and_run(osc, phase, weight)
+    assert out.shape[1] >= t  # decimated back to ~original rate
+    assert np.all(np.isfinite(np.asarray(out.data)))
+
+
+def test_harmonic_oscillator_antialiasing():
+    from golf_tpu.models.synth import HarmonicOscillator
+    osc = HarmonicOscillator()
+    b, t, n = 1, 4800, 16
+    # f0 = 4 kHz at 24 kHz: harmonics >= 3 are above Nyquist
+    phase = Sig(jnp.full((b, t), 4000.0 / 24000.0), 1)
+    amps = Sig(jnp.ones((b, t, n)), 1)
+    out, _ = _init_and_run(osc, phase, amps)
+    # compare against manual 2-harmonic synthesis
+    inst = jnp.cumsum(jnp.full((t,), 4000.0 / 24000.0))
+    ref = jnp.sin(2 * jnp.pi * inst) + jnp.sin(2 * jnp.pi * 2 * inst)
+    np.testing.assert_allclose(np.asarray(out.data[0]), np.asarray(ref),
+                               atol=1e-2)
+
+
+def test_sawtooth_amplitudes():
+    from golf_tpu.models.synth import SawToothOscillator
+    osc = SawToothOscillator(num_harmonics=8)
+    phase = Sig(jnp.full((1, 2400), 100.0 / 24000.0), 1)
+    out, _ = _init_and_run(osc, phase)
+    assert out.shape == (1, 2400)
+
+
+def test_pulse_train_energy():
+    from golf_tpu.models.synth import PulseTrain
+    osc = PulseTrain()
+    f0 = 200.0
+    phase = Sig(jnp.full((1, 24000), f0 / 24000.0), 1)
+    out, _ = _init_and_run(osc, phase)
+    d = np.asarray(out.data[0])
+    n_pulses = np.count_nonzero(d)
+    assert abs(n_pulses - 200) <= 2  # one pulse per period over 1 s
+    np.testing.assert_allclose(d[d != 0][0],
+                               1 / np.sqrt(f0 / 24000.0), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# ctrl protocol layout parity
+# ---------------------------------------------------------------------------
+
+def test_golf_param_layout():
+    """Layout must match the reference fold: one group per controllable
+    child, registration order (models/ctrl.py:59-69)."""
+    from golf_tpu.config.registry import load_config, instantiate
+    cfg = load_config("cfg/ae/decoder/golf.yaml")
+    decoder = instantiate(cfg["decoder"])
+    sizes, keys = decoder.param_layout
+    assert keys == ("harm_oscillator_params", "noise_generator_params",
+                    "noise_filter_params", "end_filter_params",
+                    "room_filter_params")
+    assert sizes == ((64,), (), (256,), (1, 22), ())
+
+
+def test_ddsp_param_layout():
+    from golf_tpu.config.registry import load_config, instantiate
+    cfg = load_config("cfg/ae/decoder/ddsp.yaml")
+    decoder = instantiate(cfg["decoder"])
+    sizes, keys = decoder.param_layout
+    assert keys == ("harm_oscillator_params", "noise_generator_params",
+                    "harm_filter_params", "noise_filter_params",
+                    "end_filter_params")
+    assert sizes == ((1, 155), (), (), (256,), ())
+
+
+def test_encoder_split_roundtrip():
+    """split_heads slices must reassemble to the head output
+    (models/enc.py:78-98 parity)."""
+    from golf_tpu.models.ctrl import split_heads
+    layout = ((1,), (3, 2), (), (4,))
+    keys = ("a", "b", "c", "d")
+    h = Sig(jnp.arange(2 * 5 * 10, dtype=jnp.float32).reshape(2, 5, 10),
+            240)
+    groups = split_heads(h, layout, keys)
+    assert groups["a"][0].shape == (2, 5)       # width-1 squeezed
+    assert groups["b"][0].shape == (2, 5, 3)
+    assert groups["b"][1].shape == (2, 5, 2)
+    assert groups["c"] == ()
+    assert groups["d"][0].shape == (2, 5, 4)
+    recon = jnp.concatenate(
+        [groups["a"][0].data[..., None], groups["b"][0].data,
+         groups["b"][1].data, groups["d"][0].data], axis=-1)
+    np.testing.assert_array_equal(np.asarray(recon), np.asarray(h.data))
+
+
+# ---------------------------------------------------------------------------
+# Filters
+# ---------------------------------------------------------------------------
+
+def test_ltv_zero_phase_frame_matches_precise():
+    """Frame-wise FFT conv == per-sample kernel matmul when the kernel is
+    constant over time (filters.py:286-384 parity check)."""
+    from golf_tpu.models.filters import (LTVZeroPhaseFIRFilter,
+                                         LTVZeroPhaseFIRFilterPrecise)
+    rng = np.random.default_rng(0)
+    b, t, hop, n_mag = 1, 960, 96, 17
+    ex = Sig(jnp.asarray(rng.standard_normal((b, t)).astype(np.float32)), 1)
+    log_mag = jnp.asarray(
+        np.tile(rng.standard_normal((b, 1, n_mag)).astype(np.float32) * 0.3,
+                (1, t // hop + 1, 1)))
+    lm = Sig(log_mag, hop)
+    fast = LTVZeroPhaseFIRFilter(window="hanning", n_mag=n_mag)
+    precise = LTVZeroPhaseFIRFilterPrecise(window="hanning", n_mag=n_mag)
+    out_fast, _ = _init_and_run(fast, ex, lm)
+    out_precise, _ = _init_and_run(precise, ex, lm)
+    tt = min(out_fast.shape[1], out_precise.shape[1])
+    np.testing.assert_allclose(np.asarray(out_fast.data[:, :tt]),
+                               np.asarray(out_precise.data[:, :tt]),
+                               atol=1e-3)
+
+
+def test_ltv_minphase_filter_ff_vs_ss_constant():
+    """Frame-wise OLA LPC ~ sample-wise filter for slowly-varying coeffs
+    in steady state."""
+    from golf_tpu.models.filters import (LTVMinimumPhaseFilter,
+                                         LTVMinimumPhaseFilterPrecise)
+    rng = np.random.default_rng(1)
+    b, t, hop, p = 1, 1920, 96, 4
+    frames = t // hop
+    ex = Sig(jnp.asarray(rng.standard_normal((b, t)).astype(np.float32)), 1)
+    gain = Sig(jnp.ones((b, frames)), hop)
+    rc = np.tile(rng.uniform(-0.3, 0.3, (b, 1, p)), (1, frames, 1))
+    from golf_tpu.ops.dsp import rc2lpc
+    a = Sig(jnp.asarray(rc2lpc(jnp.asarray(rc)).astype(np.float32)), hop)
+    ff = LTVMinimumPhaseFilter(window="hanning", window_length=192,
+                               lpc_order=p)
+    ss = LTVMinimumPhaseFilterPrecise(lpc_order=p)
+    out_ff, _ = _init_and_run(ff, ex, gain, a)
+    out_ss, _ = _init_and_run(ss, ex, gain, a)
+    tt = min(out_ff.shape[1], out_ss.shape[1])
+    y1 = np.asarray(out_ff.data[0, 200:tt - 200])
+    y2 = np.asarray(out_ss.data[0, 200:tt - 200])
+    # frame-wise is an approximation; check strong correlation
+    corr = np.corrcoef(y1, y2)[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_lti_acoustic_filter_identity_at_init():
+    from golf_tpu.models.filters import LTIAcousticFilter
+    f = LTIAcousticFilter(length=16)
+    ex = Sig(jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, 100)).astype(np.float32)), 1)
+    out, variables = _init_and_run(f, ex)
+    # zero-init kernel: exact identity
+    np.testing.assert_array_equal(np.asarray(out.data),
+                                  np.asarray(ex.data))
+
+
+def test_allpass_preserves_magnitude():
+    from golf_tpu.models.filters import LTIRealCoeffAllpassFilter
+    f = LTIRealCoeffAllpassFilter(num_roots=4)
+    rng = np.random.default_rng(3)
+    ex = Sig(jnp.asarray(rng.standard_normal((1, 512)).astype(np.float32)),
+             1)
+    out, _ = _init_and_run(f, ex)
+    sx = np.abs(np.fft.rfft(np.asarray(ex.data[0])))
+    sy = np.abs(np.fft.rfft(np.asarray(out.data[0])))
+    # allpass: magnitude response == 1 (modulo edge transients)
+    ratio = sy[10:-10] / np.maximum(sx[10:-10], 1e-6)
+    assert np.median(np.abs(ratio - 1)) < 0.2
+
+
+def test_noise_sources():
+    from golf_tpu.models.noise import (SignFlipNoise, StandardNormalNoise,
+                                       UniformNoise)
+    ref = Sig(jnp.zeros((4, 10000)), 1)
+    for cls, var in [(StandardNormalNoise, 1.0), (UniformNoise, 1.0)]:
+        out, _ = _init_and_run(cls(), ref)
+        assert abs(float(jnp.var(out.data)) - var) < 0.05
+    out, _ = _init_and_run(SignFlipNoise(), ref)
+    d = np.asarray(out.data)
+    assert set(np.unique(d)) <= {-1.0, 1.0}
+    np.testing.assert_array_equal(d[:, ::2], -d[:, 1::2])
+
+
+def test_mss_loss_zero_for_identical():
+    from golf_tpu.loss.spec import MSSLoss
+    loss = MSSLoss(n_ffts=(256, 509), alpha=1.0, window="hanning")
+    x = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (2, 4800)).astype(np.float32))
+    assert float(loss(x, x)) == 0.0
+    assert float(loss(x, x * 1.01)) > 0.0
+
+
+def test_sf_synth_forward():
+    from golf_tpu.config.registry import load_config, instantiate
+    from golf_tpu.models.sf import SourceFilterSynth
+    cfg = load_config("cfg/ae/decoder/golf.yaml")
+    cfg["decoder"]["init_args"]["harm_oscillator"]["init_args"].update(
+        {"points": 128, "table_size": 8})
+    decoder = instantiate(cfg["decoder"])
+    b, t, hop = 1, 2400, 240
+    frames = t // hop + 1
+    rng = np.random.default_rng(5)
+    raw = {
+        "harm_oscillator_params": (
+            Sig(jnp.asarray(rng.standard_normal(
+                (b, frames, 64)).astype(np.float32) * 0.1), hop),),
+        "noise_generator_params": (),
+        "noise_filter_params": (
+            Sig(jnp.asarray(rng.standard_normal(
+                (b, frames, 256)).astype(np.float32) * 0.1), hop),),
+        "end_filter_params": (
+            Sig(jnp.zeros((b, frames), jnp.float32), hop),
+            Sig(jnp.asarray(rng.standard_normal(
+                (b, frames, 22)).astype(np.float32) * 0.1), hop)),
+        "room_filter_params": (),
+    }
+    phase = Sig(jnp.full((b, t), 200.0 / 24000.0), 1)
+
+    def body(mdl, phase, raw):
+        return mdl(phase, **mdl.apply_ctrl(raw))
+
+    out, _ = _init_and_run(decoder, phase, raw, method=body)
+    assert out.ndim == 2 and out.shape[0] == b
+    assert np.all(np.isfinite(np.asarray(out.data)))
