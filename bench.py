@@ -19,6 +19,12 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compilation cache: the first compile of the full synthesis
+    # graph through the remote-compile relay is minutes; cached reruns are
+    # seconds.
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from golf_tpu.core.sig import Sig
     from golf_tpu.config.registry import instantiate, load_config
@@ -61,9 +67,12 @@ def main():
         params = mdl.apply_ctrl(raw)
         return mdl(phase, **params)
 
-    variables = decoder.init(
-        {"params": jax.random.key(0), "noise": jax.random.key(1)},
-        phase, raw, method=body)
+    # jit the init: in eager mode every primitive would compile separately
+    # through the remote-compile relay
+    variables = jax.jit(
+        lambda ph, rw: decoder.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)},
+            ph, rw, method=body))(phase, raw)
 
     def synth_full(phase, raw):
         return decoder.apply(variables, phase, raw,

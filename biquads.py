@@ -39,11 +39,11 @@ def main():
     x = Sig(jnp.asarray(wav.reshape(1, -1)), 1)
     f0 = Sig(jnp.full((1, wav.size), 150.0, jnp.float32), 1)
 
-    variables = task.init(
+    variables = jax.jit(lambda a, b: task.init(
         {"params": jax.random.key(0), "noise": jax.random.key(1),
          "dropout": jax.random.key(2)},
-        x, f0, train=False,
-        method=lambda m, *a, **k: m.training_step(*a, **k))
+        a, b, train=True,
+        method=lambda m, *ar, **k: m.training_step(*ar, **k)))(x, f0)
     if args.ckpt:
         from golf_tpu.train.checkpoint import load_checkpoint_variables
         variables = {**variables,

@@ -17,4 +17,19 @@ def _honor_platform_env():
             pass
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: compiles through the remote-TPU
+    relay cost minutes; cached reruns cost seconds."""
+    try:
+        import jax
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser("~/.cache/jax_comp_cache"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 _honor_platform_env()
+_enable_compile_cache()

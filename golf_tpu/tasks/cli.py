@@ -146,15 +146,45 @@ def run(argv: List[str], default_config: Optional[str] = None):
         print(json.dumps(trainer.validate(
             state, datamodule.val_dataloader())))
     elif args.subcommand == "test":
+        from .vocoder import DDSPVocoder, run_vocoder_test
+        from .world_ae import WORLDAutoEncoder as WAE
+        if isinstance(task, WAE):
+            print(json.dumps(task.run_test(datamodule)))
+            return 0
         datamodule.setup("fit")
         state = _restore_state(trainer, datamodule, ckpt_path)
-        trainer.test(datamodule, state)
+        if isinstance(task, DDSPVocoder):
+            variables = {"params": state.params, "stats": state.stats,
+                         "batch_stats": state.batch_stats}
+            mi = cfg["model"].get("init_args", {})
+            print(json.dumps(run_vocoder_test(
+                task, variables, datamodule,
+                mi.get("sample_rate", 24000), mi.get("hop_length", 120),
+                task.criterion)))
+        else:
+            trainer.test(datamodule, state)
     elif args.subcommand == "predict":
+        from .world_ae import WORLDAutoEncoder as WAE
+        if isinstance(task, WAE):
+            _predict_world(task, datamodule, run_dir, cfg)
+            return 0
         datamodule.setup("fit")
         state = _restore_state(trainer, datamodule, ckpt_path)
         datamodule.setup("predict")
         _predict(trainer, task, state, datamodule, run_dir, cfg)
     return 0
+
+
+def _predict_world(task, datamodule, run_dir, cfg):
+    sr = cfg["model"].get("init_args", {}).get("sample_rate", 24000)
+    writer = PredictionWriter(os.path.join(run_dir, "predictions"), sr)
+    datamodule.setup("predict")
+    for batch in datamodule.predict_dataloader():
+        x, f0, rel = batch[0], batch[1], batch[2]
+        y, _ = task.predict_step(np.asarray(x), np.asarray(f0))
+        writer.write(rel[0] if isinstance(rel, (list, tuple)) else rel,
+                     y[0])
+    print(f"predictions written to {writer.output_dir}")
 
 
 def _restore_state(trainer, datamodule, ckpt_path):
@@ -170,16 +200,37 @@ def _restore_state(trainer, datamodule, ckpt_path):
 def _predict(trainer, task, state, datamodule, run_dir, cfg):
     import jax
     import jax.numpy as jnp
+    from .vocoder import DDSPVocoder, chunked_ola_predict
     sr = cfg.get("model", {}).get("init_args", {}).get("sample_rate", 24000)
     writer = PredictionWriter(os.path.join(run_dir, "predictions"), sr)
+    variables = {"params": state.params, "stats": state.stats,
+                 "batch_stats": state.batch_stats}
+    rngs = {"noise": jax.random.key(0), "dropout": jax.random.key(0)}
     loader = datamodule.predict_dataloader()
+    is_vocoder = isinstance(task, DDSPVocoder)
+
+    if is_vocoder:
+        @jax.jit
+        def resynth(frames):
+            out, _ = task.apply(
+                variables, Sig(frames, 1), rngs=rngs,
+                method=lambda m, *a, **kw: m.predict_step(*a, **kw))
+            return out.data
+
     for batch in loader:
         x, f0, rel = batch[0], batch[1], batch[2]
+        if is_vocoder:
+            # 6 s / 0.3 s-overlap chunked OLA (reference
+            # ltng/vocoder.py:350-383)
+            audio = chunked_ola_predict(
+                lambda fr: resynth(jnp.asarray(fr)), np.asarray(x), sr)
+            writer.write(rel[0] if isinstance(rel, (list, tuple)) else rel,
+                         audio)
+            continue
         out, _ = task.apply(
-            {"params": state.params, "stats": state.stats,
-             "batch_stats": state.batch_stats},
+            variables,
             Sig(jnp.asarray(x), 1), Sig(jnp.asarray(f0), 1),
-            rngs={"noise": jax.random.key(0), "dropout": jax.random.key(0)},
+            rngs=rngs,
             method=lambda m, *a, **kw: m.predict_step(*a, **kw))
         audio = np.asarray(out.data if isinstance(out, Sig) else out)
         writer.write(rel[0] if isinstance(rel, (list, tuple)) else rel,

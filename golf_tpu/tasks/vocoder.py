@@ -241,3 +241,52 @@ def chunked_ola_predict(apply_fn, x: np.ndarray, sample_rate: int,
             addon[:overlap] *= p
         ola[i * hop_length: i * hop_length + frame_length] += addon
     return ola[:t]
+
+
+def run_vocoder_test(task, variables, datamodule, sample_rate: int,
+                     hop_length: int, criterion) -> dict:
+    """Reference DDSPVocoder.test_step (ltng/vocoder.py:303-331): device
+    resynthesis + MSS; f0 re-estimated host-side (DIO) and scored as cents
+    MAE against the dataset track."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.dsp import freq2cent
+    from ..utils import native
+
+    datamodule.setup("test")
+    loader = datamodule.test_dataloader()
+
+    @jax.jit
+    def resynth(x):
+        return task.apply(
+            variables, Sig(x, 1),
+            rngs={"noise": jax.random.key(0), "dropout": jax.random.key(0)},
+            method=lambda m, xs: m.test_forward(xs)).data
+
+    totals = {"mss": 0.0, "f0_cents": 0.0}
+    weight = 0.0
+    for batch in loader:
+        x, f0_in_hz = batch[:2]
+        x = np.asarray(x)
+        x_hat = np.asarray(resynth(jnp.asarray(x)))
+        t = min(x.shape[1], x_hat.shape[1])
+        mss = float(criterion(jnp.asarray(x_hat[:, :t]),
+                              jnp.asarray(x[:, :t])))
+        f0_ref = np.asarray(f0_in_hz)[:, ::hop_length]
+        f0_hats = []
+        for i in range(x_hat.shape[0]):
+            f0_hat, _ = native.dio(
+                x_hat[i].astype(np.float64), sample_rate, f0_floor=65.0,
+                frame_period=1000 * hop_length / sample_rate)
+            f0_hats.append(f0_hat)
+        f0_hat = np.stack(f0_hats)
+        f = min(f0_hat.shape[1], f0_ref.shape[1])
+        fr = np.maximum(f0_ref[:, :f], 80)
+        fh = np.maximum(f0_hat[:, :f], 80)
+        cents = float(np.mean(np.abs(freq2cent(fh) - freq2cent(fr))))
+        n = x.shape[0]
+        totals["mss"] += mss * n
+        totals["f0_cents"] += cents * n
+        weight += n
+    return {"avg_mss_loss": totals["mss"] / weight,
+            "avg_f0_loss": totals["f0_cents"] / weight}

@@ -81,22 +81,36 @@ class Trainer:
         self.seed = seed
         self.check_finite = check_finite
         self.tx = make_optimizer(lr, grad_clip, optimizer)
-        self.mesh = mesh if mesh is not None else make_mesh(time=1)
+        self.mesh = mesh  # resolved lazily once the batch size is known
         self.logger = MetricsLogger(run_dir)
         self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"),
                                       top_k=save_top_k)
         self._compiled = None
 
+    def _resolve_mesh(self, batch_size: int):
+        if self.mesh is None:
+            import jax
+            n = len(jax.devices())
+            # largest device count that divides the global batch
+            data = next(d for d in range(min(n, batch_size), 0, -1)
+                        if batch_size % d == 0)
+            self.mesh = make_mesh(data=data, time=1,
+                                  devices=jax.devices()[:data])
+        return self.mesh
+
     # -- state ------------------------------------------------------------
     def init_state(self, sample_batch) -> TrainState:
         x, f0 = sample_batch[:2]
+        self._resolve_mesh(x.shape[0])
         xs = Sig(jnp.asarray(x), 1)
         f0s = Sig(jnp.asarray(f0), 1)
         key = jax.random.key(self.seed)
         k1, k2, k3 = jax.random.split(key, 3)
-        variables = self.task.init(
-            {"params": k1, "noise": k2, "dropout": k3}, xs, f0s, train=False,
-            method=lambda m, *a, **kw: m.training_step(*a, **kw))
+        # jitted init: eager init would compile each primitive separately
+        # (painful through a remote-compile TPU relay)
+        variables = jax.jit(lambda xs, f0s: self.task.init(
+            {"params": k1, "noise": k2, "dropout": k3}, xs, f0s, train=True,
+            method=lambda m, *a, **kw: m.training_step(*a, **kw)))(xs, f0s)
         params = variables.get("params", {})
         stats = variables.get("stats", {})
         batch_stats = variables.get("batch_stats", {})
@@ -146,6 +160,14 @@ class Trainer:
                 in_shardings=(repl, repl, repl, data, data, repl))
         return self._compiled
 
+    def _truncate_to_mesh(self, x, f0):
+        """Sharded eval needs batch % data-axis == 0; trim stragglers."""
+        d = self.mesh.shape["data"]
+        keep = (x.shape[0] // d) * d
+        if keep == 0:
+            return None, None
+        return x[:keep], f0[:keep]
+
     # -- loops ------------------------------------------------------------
     def validate(self, state: TrainState, loader, max_batches=None) -> Dict:
         self._compile()
@@ -155,7 +177,9 @@ class Trainer:
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
-            x, f0 = batch[:2]
+            x, f0 = self._truncate_to_mesh(*batch[:2])
+            if x is None:
+                continue
             out = self._val_step(state.params, state.stats,
                                  state.batch_stats, jnp.asarray(x),
                                  jnp.asarray(f0), rng)
@@ -238,7 +262,9 @@ class Trainer:
         weights = 0.0
         rng = jax.random.key(self.seed + 12345)
         for batch in loader:
-            x, f0 = batch[:2]
+            x, f0 = self._truncate_to_mesh(*batch[:2])
+            if x is None:
+                continue
             out = test_step(state.params, state.stats, state.batch_stats,
                             jnp.asarray(x), jnp.asarray(f0), rng)
             n = float(out.pop("N", x.shape[0]))

@@ -57,11 +57,11 @@ def main():
     x0, f00, _ = ds[0]
     xs = Sig(jnp.asarray(x0[None, :chunk]), 1)
     f0s = Sig(jnp.asarray(f00[None, :chunk]), 1)
-    variables = task.init(
+    variables = jax.jit(lambda a, b: task.init(
         {"params": jax.random.key(0), "noise": jax.random.key(1),
          "dropout": jax.random.key(2)},
-        xs, f0s, train=False,
-        method=lambda m, *a, **k: m.training_step(*a, **k))
+        a, b, train=True,
+        method=lambda m, *ar, **k: m.training_step(*ar, **k)))(xs, f0s)
     if args.ckpt:
         from golf_tpu.train.checkpoint import load_checkpoint_variables
         variables = {**variables,

@@ -82,11 +82,11 @@ def main():
     x = Sig(jnp.asarray(x_np[None]), 1)
     f0 = Sig(jnp.asarray(f0_np), 1)
 
-    variables = task.init(
+    variables = jax.jit(lambda xs, f0s: task.init(
         {"params": jax.random.key(0), "noise": jax.random.key(1),
          "dropout": jax.random.key(2)},
-        x, f0, train=False,
-        method=lambda m, *a, **k: m.training_step(*a, **k))
+        xs, f0s, train=True,
+        method=lambda m, *a, **k: m.training_step(*a, **k)))(x, f0)
     if args.ckpt:
         from golf_tpu.train.checkpoint import load_checkpoint_variables
         restored = load_checkpoint_variables(args.ckpt, dict(variables))
