@@ -67,12 +67,15 @@ def main():
         params = mdl.apply_ctrl(raw)
         return mdl(phase, **params)
 
-    # jit the init: in eager mode every primitive would compile separately
-    # through the remote-compile relay
-    variables = jax.jit(
+    # shape-only init: no compile, no device work. The GOLF-ss decoder's
+    # only parameter is the acoustic-filter kernel, which is zero-init —
+    # so zeros of the right shapes ARE the init values.
+    var_shapes = jax.eval_shape(
         lambda ph, rw: decoder.init(
             {"params": jax.random.key(0), "noise": jax.random.key(1)},
-            ph, rw, method=body))(phase, raw)
+            ph, rw, method=body), phase, raw)
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), var_shapes)
 
     def synth_full(phase, raw):
         return decoder.apply(variables, phase, raw,

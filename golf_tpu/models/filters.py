@@ -353,10 +353,20 @@ class LTIAcousticFilter(FilterInterface):
         kernel = self.param(
             "kernel", nn.initializers.zeros, (self.length - 1,))
         x = ex.data
-        # out[n] = sum_k kernel[k] * x[n + k - (L-1)]  (delays 1..L-1)
-        xp = jnp.pad(x[:, :-1], ((0, 0), (self.length - 1, 0)))
-        frames = _unfold(xp, self.length - 1, 1)      # (B, T, L-1)
-        out = jnp.einsum("btk,k->bt", frames, kernel)
+        # out[n] = sum_k kernel[k] * x[n + k - (L-1)]  (delays 1..L-1),
+        # realized as one rfft/irfft full convolution (the unfold-gather
+        # and direct-conv forms are compile-hostile on TPU)
+        t = x.shape[-1]
+        l = self.length - 1
+        nfft = 1 << (t + l - 1).bit_length()
+        conv = jnp.fft.irfft(
+            jnp.fft.rfft(x[:, :-1], nfft)
+            * jnp.fft.rfft(jnp.flip(kernel), nfft), nfft)
+        # full conv of x[:-1] with reversed kernel gives
+        # conv[m] = sum_k kernel[k] x[m - (l-1) + k]; the reference unfold
+        # (models/filters.py:443-450) is out[n] = sum_k kernel[k]
+        # x[n - l + k], i.e. out[n] = conv[n-1] with out[0] = 0.
+        out = jnp.pad(conv[:, :t - 1], ((0, 0), (1, 0)))
         return ex + Sig(out, 1)
 
     @property

@@ -39,6 +39,13 @@ def _bilinear_table_lookup(wrapped_phase: jax.Array, tables: jax.Array,
 
     wrapped_phase: (B, T) in [0, 1); tables: (B, frames, S) at frame-hop
     ``hop``. Returns (B, T).
+
+    TPU formulation: the frame coordinate of sample t is t/hop, so every
+    block of ``hop`` consecutive samples interpolates between the SAME two
+    table rows. Reshaping time to (blocks, hop) turns the lookup into four
+    small batched ``take_along_axis`` gathers over the wavetable axis —
+    the naive flattened 2-D gather takes minutes to compile on the TPU
+    toolchain and runs far slower.
     """
     b, t = wrapped_phase.shape
     s = tables.shape[-1]
@@ -53,26 +60,25 @@ def _bilinear_table_lookup(wrapped_phase: jax.Array, tables: jax.Array,
     # wrap-around column for phase interpolation across the period boundary
     padded = jnp.concatenate([tables, tables[:, :, :1]], axis=2)  # (B,F,S+1)
 
-    col = wrapped_phase * s                       # in [0, S)
+    t_pad = blocks * hop
+    ph = jnp.pad(wrapped_phase, ((0, 0), (0, t_pad - t)))
+    ph = ph.reshape(b, blocks, hop)
+    col = ph * s                                   # in [0, S)
     c0 = jnp.clip(jnp.floor(col), 0, s - 1).astype(jnp.int32)
     cw = col - c0
-    row = jnp.arange(t, dtype=wrapped_phase.dtype) / hop  # in [0, blocks]
-    r0 = jnp.clip(jnp.floor(row), 0, blocks - 1).astype(jnp.int32)
-    rw = (row - r0)[None, :]
-    r0 = jnp.broadcast_to(r0[None, :], (b, t))
 
-    def corner(ri, ci):
-        return jnp.take_along_axis(
-            padded.reshape(b, -1),
-            ri * (s + 1) + ci, axis=1)
+    tab0 = padded[:, :blocks]                      # rows k
+    tab1 = padded[:, 1:blocks + 1]                 # rows k+1
 
-    v00 = corner(r0, c0)
-    v01 = corner(r0, c0 + 1)
-    v10 = corner(r0 + 1, c0)
-    v11 = corner(r0 + 1, c0 + 1)
+    v00 = jnp.take_along_axis(tab0, c0, axis=2)
+    v01 = jnp.take_along_axis(tab0, c0 + 1, axis=2)
+    v10 = jnp.take_along_axis(tab1, c0, axis=2)
+    v11 = jnp.take_along_axis(tab1, c0 + 1, axis=2)
     top = v00 * (1 - cw) + v01 * cw
     bot = v10 * (1 - cw) + v11 * cw
-    return top * (1 - rw) + bot * rw
+    rw = (jnp.arange(hop, dtype=wrapped_phase.dtype) / hop)[None, None, :]
+    out = top * (1 - rw) + bot * rw
+    return out.reshape(b, t_pad)[:, :t]
 
 
 class GlottalFlowTable(OscillatorInterface):

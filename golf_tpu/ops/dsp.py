@@ -348,3 +348,34 @@ def smooth_phase_offset(phase_offset: jax.Array) -> jax.Array:
 
 def freq2cent(f0):
     return 1200 * np.log2(f0 / 440)
+
+
+# ---------------------------------------------------------------------------
+# Prefix sum without giant reduce_window
+# ---------------------------------------------------------------------------
+
+def fast_cumsum(x: jax.Array, axis: int = -1,
+                block: int = 256) -> jax.Array:
+    """Two-level blocked prefix sum along ``axis``.
+
+    ``jnp.cumsum`` lowers to a reduce_window whose window spans the whole
+    axis — on long audio axes (10^5-10^6 samples) that is pathological for
+    the TPU compiler. This formulation is a lower-triangular matmul within
+    blocks (MXU) plus a short cumsum over block totals.
+    """
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    if n <= 2 * block:
+        out = jnp.cumsum(x, axis=-1)
+        return jnp.moveaxis(out, -1, axis)
+    k = -(-n // block)
+    pad = k * block - n
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    blocks = xp.reshape(*x.shape[:-1], k, block)
+    tri = jnp.tril(jnp.ones((block, block), x.dtype))
+    within = jnp.einsum("...kb,cb->...kc", blocks, tri)
+    totals = within[..., -1]
+    offsets = jnp.cumsum(totals, axis=-1) - totals
+    out = (within + offsets[..., None]).reshape(*x.shape[:-1], k * block)
+    out = out[..., :n]
+    return jnp.moveaxis(out, -1, axis)

@@ -31,9 +31,17 @@ def sinc_kernel(q: int, zeros: int = 56, roll_off: float = 0.945) -> np.ndarray:
 def decimate(x: jax.Array, q: int, kernel: np.ndarray | None = None) -> jax.Array:
     """Anti-aliased decimation by integer factor q. x: (B, T) -> (B, ceil(T/q)).
 
-    Matches kazane.Decimate: convolve with lowpass (same padding = half//q
-    blocks) then stride. Implemented as a strided conv so XLA can tile it.
+    Matches kazane.Decimate semantics ('same'-padded lowpass then stride).
+    Dispatches to the FFT realization: the direct single-channel strided
+    convolution takes ~500 s to compile on the TPU toolchain (measured)
+    while the rfft/irfft pair compiles in seconds and runs just as fast.
     """
+    return decimate_fft(x, q, kernel)
+
+
+def decimate_direct(x: jax.Array, q: int,
+                    kernel: np.ndarray | None = None) -> jax.Array:
+    """Direct strided-conv realization (CPU/reference path)."""
     if kernel is None:
         kernel = sinc_kernel(q)
     k = jnp.asarray(kernel, x.dtype)
@@ -43,3 +51,26 @@ def decimate(x: jax.Array, q: int, kernel: np.ndarray | None = None) -> jax.Arra
         xp, k[None, None, :], window_strides=(q,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"))
     return out[:, 0, :]
+
+
+def decimate_fft(x: jax.Array, q: int,
+                 kernel: np.ndarray | None = None) -> jax.Array:
+    """FFT overlap-free decimation: full convolution via rfft, then stride.
+
+    Same math as ``decimate`` but avoids the degenerate single-channel
+    direct convolution (compile-hostile on TPU); one big rfft/irfft pair
+    instead.
+    """
+    if kernel is None:
+        kernel = sinc_kernel(q)
+    k = jnp.asarray(kernel, x.dtype)
+    taps = kernel.shape[0]
+    half = (taps - 1) // 2
+    t = x.shape[-1]
+    n = t + taps - 1
+    nfft = 1 << (n - 1).bit_length()
+    conv = jnp.fft.irfft(
+        jnp.fft.rfft(x, nfft) * jnp.fft.rfft(k, nfft), nfft)
+    # 'same' alignment: output m corresponds to full-conv index m + half
+    out_len = -(-t // q)
+    return conv[..., half:half + t:q][..., :out_len]

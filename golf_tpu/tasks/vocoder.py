@@ -169,7 +169,7 @@ class DDSPVocoder(nn.Module):
 
     def predict_step(self, x: Sig, f0_in_hz: Optional[Sig] = None):
         """Chunked OLA for long-form inference is orchestrated host-side
-        (see ``golf_tpu.tasks.ola``); one chunk here."""
+        (``chunked_ola_predict`` below); one chunk here."""
         feats = self.feature_trsfm(x.data, train=False)
         _, x_hat, _ = self(feats)
         return x_hat, None
