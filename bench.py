@@ -16,6 +16,10 @@ import time
 
 import numpy as np
 
+from golf_tpu.utils.axon_boot import ensure_fixed_session
+
+ensure_fixed_session("golf-tpu-bench")
+
 
 def main():
     import jax

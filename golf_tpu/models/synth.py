@@ -193,8 +193,12 @@ class Downsampler(nn.Module):
         k = self.hop_rate
         pad = k // 2
         hp = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))
-        pooled = jax.lax.reduce_window(
-            hp, 0.0, jax.lax.add, (1, k, 1), (1, k, 1), "VALID") / k
+        # window == stride: the avgpool is a reshape-mean. (A strided
+        # reduce_window here takes minutes to compile on the TPU toolchain
+        # and runs ~1000x slower than this.)
+        frames = (hp.shape[1] - k) // k + 1
+        pooled = hp[:, : frames * k].reshape(
+            hp.shape[0], frames, k, hp.shape[-1]).mean(axis=2)
         x = nn.Dense(self.in_channels * 2)(pooled)
         a, b = jnp.split(x, 2, axis=-1)
         x = a * jax.nn.sigmoid(b)

@@ -39,8 +39,19 @@ class ConvPyramid(nn.Module):
                         padding=((s, s), (1, 1)))(x)
             x = nn.BatchNorm(use_running_average=not train)(x)
             x = nn.relu(x)
-            x = nn.max_pool(x, (s, 1), strides=(s, 1))
+            x = _strided_max(x, s, axis=1)
         return x
+
+
+def _strided_max(x: jax.Array, s: int, axis: int) -> jax.Array:
+    """Max-pool with window == stride as a reshape-max (strided
+    reduce_window is compile-pathological on the TPU toolchain)."""
+    if s == 1:
+        return x
+    x = jnp.moveaxis(x, axis, -1)
+    frames = x.shape[-1] // s
+    x = x[..., : frames * s].reshape(*x.shape[:-1], frames, s).max(axis=-1)
+    return jnp.moveaxis(x, -1, axis)
 
 
 class LRUBlock(nn.Module):
@@ -274,9 +285,8 @@ class TransformerEncoderBackbone(BackboneModelInterface):
         h = nn.LayerNorm()(h)
 
         h = h.reshape(b, t, fr, c)
-        # maxpool over frequency
-        h = nn.max_pool(h, (1, self.maxpool_stride, 1),
-                        strides=(1, self.maxpool_stride, 1))
+        # maxpool over frequency (reshape-max; see _strided_max)
+        h = _strided_max(h, self.maxpool_stride, axis=2)
         h = h.reshape(b, t, -1)
 
         f0_d = f0.set_hop_length(self.hop_length).truncate(h.shape[1]).data

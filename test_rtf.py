@@ -16,6 +16,9 @@ import time
 
 import numpy as np
 
+from golf_tpu.utils.axon_boot import ensure_fixed_session
+ensure_fixed_session("golf-tpu-bench")
+
 
 def bench(fn, args, n: int = 10):
     """n timed runs, trimmed mean (reference ``test_rtf.py:163-172``)."""

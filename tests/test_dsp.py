@@ -147,3 +147,28 @@ def test_smooth_phase_offset():
     out = dsp.smooth_phase_offset(po)
     # diffs wrapped into [-0.5, 0.5]: 0.8 -> -0.2, -0.85 -> 0.15
     np.testing.assert_allclose(out[0], [0.1, -0.1, 0.05], atol=1e-6)
+
+
+def test_fast_cumsum_matches_cumsum():
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((2, 10001)).astype(np.float32)
+    out = np.asarray(dsp.fast_cumsum(jnp.asarray(x), axis=1))
+    np.testing.assert_allclose(out, np.cumsum(x, axis=1),
+                               rtol=2e-4, atol=2e-3)
+    # non-default axis
+    x2 = rng.standard_normal((5, 700, 3)).astype(np.float32)
+    out2 = np.asarray(dsp.fast_cumsum(jnp.asarray(x2), axis=1))
+    np.testing.assert_allclose(out2, np.cumsum(x2, axis=1),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_decimate_fft_matches_direct():
+    from golf_tpu.ops.resample import decimate_direct, decimate_fft
+    rng = np.random.default_rng(11)
+    for t in (10001, 4096):
+        x = rng.standard_normal((2, t)).astype(np.float32)
+        y_dir = np.asarray(decimate_direct(jnp.asarray(x), 4))
+        y_fft = np.asarray(decimate_fft(jnp.asarray(x), 4))
+        assert y_fft.shape[1] == -(-t // 4)
+        np.testing.assert_allclose(y_dir, y_fft[:, :y_dir.shape[1]],
+                                   atol=1e-4)

@@ -284,3 +284,43 @@ def test_sf_synth_forward():
     out, _ = _init_and_run(decoder, phase, raw, method=body)
     assert out.ndim == 2 and out.shape[0] == b
     assert np.all(np.isfinite(np.asarray(out.data)))
+
+
+def test_lti_acoustic_filter_matches_unfold_semantics():
+    """FFT realization == reference unfold form (filters.py:443-450)."""
+    from golf_tpu.models.filters import LTIAcousticFilter
+    rng = np.random.default_rng(12)
+    L, t = 16, 200
+    f = LTIAcousticFilter(length=L)
+    ex = Sig(jnp.asarray(rng.standard_normal((2, t)).astype(np.float32)), 1)
+    variables = f.init(jax.random.key(0), ex)
+    kernel = rng.standard_normal(L - 1).astype(np.float32)
+    variables = {"params": {"kernel": jnp.asarray(kernel)}}
+    out = f.apply(variables, ex)
+    x = np.asarray(ex.data)
+    ref = x.copy()
+    for n in range(t):
+        for k in range(L - 1):
+            idx = n + k - (L - 1)
+            if 0 <= idx <= t - 2:
+                ref[:, n] += kernel[k] * x[:, idx]
+    np.testing.assert_allclose(np.asarray(out.data), ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_downsampler_pooling_matches_avgpool():
+    """reshape-mean == torch AvgPool1d(k, stride=k, padding=k//2,
+    count_include_pad=True) on the pooled frame count."""
+    import torch
+    from golf_tpu.models.synth import Downsampler
+    rng = np.random.default_rng(13)
+    h = rng.standard_normal((1, 601, 8)).astype(np.float32)
+    ref = torch.nn.functional.avg_pool1d(
+        torch.from_numpy(h).transpose(1, 2), 10, stride=10, padding=5,
+        count_include_pad=True).transpose(1, 2).numpy()
+    # replicate just the pooling stage
+    k, pad = 10, 5
+    hp = np.pad(h, ((0, 0), (pad, pad), (0, 0)))
+    frames = (hp.shape[1] - k) // k + 1
+    pooled = hp[:, :frames * k].reshape(1, frames, k, 8).mean(axis=2)
+    np.testing.assert_allclose(pooled, ref, atol=1e-6)

@@ -12,6 +12,9 @@ import time
 
 import numpy as np
 
+from golf_tpu.utils.axon_boot import ensure_fixed_session
+ensure_fixed_session("golf-tpu-bench")
+
 sys.path.insert(0, ".")
 
 
