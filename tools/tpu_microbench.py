@@ -12,10 +12,11 @@ import time
 
 import numpy as np
 
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from golf_tpu.utils.axon_boot import ensure_fixed_session
 ensure_fixed_session("golf-tpu-bench")
 
-sys.path.insert(0, ".")
 
 
 def timed_compile_run(name, fn, *args, n=5):
