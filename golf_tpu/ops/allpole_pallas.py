@@ -43,7 +43,9 @@ def _kernel(x_ref, a_ref, o_ref, state, *, tb: int, p_pad: int):
         y = x_ref[t] - jnp.sum(a_t * s, axis=0)     # (B,)
         o_ref[t, :] = y
         rolled = pltpu.roll(s, 1, 0)
-        state[:] = rolled.at[0, :].set(y)
+        # row-0 <- y without scatter (unsupported in Mosaic): iota mask
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        state[:] = jnp.where(row_ids == 0, y[None, :], rolled)
         return 0
 
     jax.lax.fori_loop(0, tb, body, 0)
