@@ -227,6 +227,9 @@ def _allpole_const_impl(x: jax.Array, a: jax.Array) -> jax.Array:
     """x: (N, T), a: (N, p) constant per sequence."""
     n, t = x.shape
     p = a.shape[-1]
+    if _use_pallas(x) and n >= 256:
+        from .allpole_pallas import allpole_const_pallas
+        return allpole_const_pallas(x, a)
 
     def step(s, x_t):
         y_t = x_t - jnp.sum(a * s, axis=-1)

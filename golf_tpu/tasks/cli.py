@@ -78,6 +78,15 @@ def build_from_config(cfg: Dict):
     opt_init = opt_cfg.get("init_args", {})
     opt_name = opt_cfg.get("class_path", "torch.optim.Adam")
     opt_name = opt_name.rsplit(".", 1)[-1].lower()
+    # EarlyStopping callback config (reference cfg/ae/vctk.yaml:19-25)
+    patience = None
+    check_finite = True
+    for cb in trainer_cfg.get("callbacks", []) or []:
+        if str(cb.get("class_path", "")).endswith("EarlyStopping"):
+            ia = cb.get("init_args", {})
+            patience = ia.get("patience")
+            check_finite = ia.get("check_finite", True)
+
     trainer_kwargs = dict(
         max_steps=trainer_cfg.get("max_steps", 1_000_000),
         lr=opt_init.get("lr", 1e-4),
@@ -85,6 +94,8 @@ def build_from_config(cfg: Dict):
         optimizer=opt_name if opt_name in ("adam", "adamw", "sgd")
         else "adam",
         seed=cfg.get("seed_everything", 2434) or 2434,
+        early_stop_patience=patience,
+        check_finite=check_finite,
     )
     return task, datamodule, trainer_kwargs
 

@@ -72,7 +72,8 @@ class Trainer:
                  grad_clip: float = 0.5, val_every_steps: int = 5000,
                  log_every_steps: int = 50, seed: int = 2434,
                  save_top_k: int = 3, mesh=None, optimizer: str = "adam",
-                 check_finite: bool = True):
+                 check_finite: bool = True,
+                 early_stop_patience: Optional[int] = None):
         self.task = task
         self.run_dir = run_dir
         self.max_steps = max_steps
@@ -80,6 +81,11 @@ class Trainer:
         self.log_every_steps = log_every_steps
         self.seed = seed
         self.check_finite = check_finite
+        # EarlyStopping(monitor=train_loss, patience, check_finite) analog
+        # (reference cfg/ae/vctk.yaml:19-25); patience counts logged steps.
+        self.early_stop_patience = early_stop_patience
+        self._best_train_loss = float("inf")
+        self._steps_since_best = 0
         self.tx = make_optimizer(lr, grad_clip, optimizer)
         self.mesh = mesh  # resolved lazily once the batch size is known
         self.logger = MetricsLogger(run_dir)
@@ -227,6 +233,18 @@ class Trainer:
                 if self.check_finite and not math.isfinite(m["loss"]):
                     raise FloatingPointError(
                         f"non-finite loss at step {state.step}")
+                if self.early_stop_patience:
+                    if m["loss"] < self._best_train_loss:
+                        self._best_train_loss = m["loss"]
+                        self._steps_since_best = 0
+                    else:
+                        self._steps_since_best += 1
+                        if self._steps_since_best >= \
+                                self.early_stop_patience:
+                            print(f"early stop: train_loss plateaued for "
+                                  f"{self.early_stop_patience} logged "
+                                  f"steps", flush=True)
+                            break
 
             if state.step % self.val_every_steps == 0 or \
                     state.step >= self.max_steps:
