@@ -156,3 +156,16 @@ def test_trainer_smoke(tmp_path):
     state2 = trainer2.fit(datamodule,
                           ckpt_path=str(tmp_path / "ckpt" / "last"))
     assert state2.step == 3
+
+
+def test_vocoder_chunked_ola_predict():
+    """Host-side 6s/0.3s-overlap OLA (reference ltng/vocoder.py:350-383):
+    with an identity resynthesis, OLA must reconstruct the input."""
+    from golf_tpu.tasks.vocoder import chunked_ola_predict
+    rng = np.random.default_rng(0)
+    sr = 1000
+    x = rng.standard_normal(int(sr * 14.2)).astype(np.float32)
+    out = chunked_ola_predict(lambda frames: frames, x, sr,
+                              chunk_secs=6.0, hop_secs=5.7)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(out, x, atol=1e-5)
