@@ -96,7 +96,13 @@ def build_from_config(cfg: Dict):
         seed=cfg.get("seed_everything", 2434) or 2434,
         early_stop_patience=patience,
         check_finite=check_finite,
+        lr_decay=cfg.get("lr_scheduler", {}).get("decay")
+        if isinstance(cfg.get("lr_scheduler"), dict) else None,
+        wandb_project=(trainer_cfg.get("logger", {}) or {})
+        .get("init_args", {}).get("project"),
     )
+    if opt_init.get("amsgrad"):
+        trainer_kwargs["optimizer"] = "amsgrad"
     return task, datamodule, trainer_kwargs
 
 

@@ -438,4 +438,18 @@ class Synthetic(DataModule):
         if stage == "test":
             self.test_dataset = self._make("test")
         if stage == "predict":
-            self.predict_dataset = self._make("test")
+            self.predict_dataset = _WithRelPath(self._make("test"))
+
+
+class _WithRelPath:
+    """Wrap a (x, f0) dataset to the inference interface (x, f0, rel)."""
+
+    def __init__(self, ds):
+        self.ds = ds
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        x, f0 = self.ds[i]
+        return x, f0, f"item{i:04d}.wav"

@@ -37,30 +37,53 @@ class TrainState:
 
 
 def make_optimizer(lr: float = 1e-4, grad_clip: float = 0.5,
-                   optimizer: str = "adam", **kwargs) -> optax.GradientTransformation:
+                   optimizer: str = "adam",
+                   lr_decay: Optional[float] = None,
+                   **kwargs) -> optax.GradientTransformation:
+    """Adam (+amsgrad for LPCNet recipes via optimizer='amsgrad') with the
+    reference's decay option lr/(1 + decay*step)
+    (``ltng/lpcnet.py:141-153``)."""
+    if lr_decay:
+        schedule = lambda step: lr / (1.0 + lr_decay * step)
+    else:
+        schedule = lr
     opt = {
         "adam": optax.adam,
         "adamw": optax.adamw,
         "sgd": optax.sgd,
-    }[optimizer](lr, **kwargs)
+        "amsgrad": optax.amsgrad,
+    }[optimizer](schedule, **kwargs)
     if grad_clip and grad_clip > 0:
         return optax.chain(optax.clip_by_global_norm(grad_clip), opt)
     return opt
 
 
 class MetricsLogger:
-    """JSONL metrics log + stdout (W&B-equivalent observability)."""
+    """JSONL metrics log + stdout; mirrors to W&B when the package and an
+    API key are available (reference uses WandbLogger,
+    cfg/ae/vctk.yaml:26-30)."""
 
-    def __init__(self, run_dir: str):
+    def __init__(self, run_dir: str, project: Optional[str] = None):
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
+        self._wandb = None
+        if project and os.environ.get("WANDB_API_KEY"):
+            try:
+                import wandb
+                self._wandb = wandb
+                wandb.init(project=project, dir=run_dir)
+            except Exception:
+                self._wandb = None
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = ""):
         rec = {"step": step, "time": time.time()}
         rec.update({(prefix + k): float(v) for k, v in metrics.items()})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in rec.items()
+                             if k != "time"}, step=max(step, 0))
 
     def close(self):
         self._f.close()
@@ -73,7 +96,9 @@ class Trainer:
                  log_every_steps: int = 50, seed: int = 2434,
                  save_top_k: int = 3, mesh=None, optimizer: str = "adam",
                  check_finite: bool = True,
-                 early_stop_patience: Optional[int] = None):
+                 early_stop_patience: Optional[int] = None,
+                 lr_decay: Optional[float] = None,
+                 wandb_project: Optional[str] = None):
         self.task = task
         self.run_dir = run_dir
         self.max_steps = max_steps
@@ -86,9 +111,10 @@ class Trainer:
         self.early_stop_patience = early_stop_patience
         self._best_train_loss = float("inf")
         self._steps_since_best = 0
-        self.tx = make_optimizer(lr, grad_clip, optimizer)
+        self.tx = make_optimizer(lr, grad_clip, optimizer,
+                                 lr_decay=lr_decay)
         self.mesh = mesh  # resolved lazily once the batch size is known
-        self.logger = MetricsLogger(run_dir)
+        self.logger = MetricsLogger(run_dir, project=wandb_project)
         self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"),
                                       top_k=save_top_k)
         self._compiled = None
