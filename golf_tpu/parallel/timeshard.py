@@ -62,9 +62,10 @@ def _local_summary(x: jax.Array, a: jax.Array, block_size: int):
     return m_cum[:, -1], v_cum[:, -1]     # (B, p, p), (B, p)
 
 
-def allpole_timesharded(x: jax.Array, a: jax.Array, mesh: Mesh,
-                        time_axis: str = "time",
-                        block_size: Optional[int] = None) -> jax.Array:
+def _allpole_timesharded_fwd_impl(x: jax.Array, a: jax.Array, mesh: Mesh,
+                                  time_axis: str = "time",
+                                  block_size: Optional[int] = None
+                                  ) -> jax.Array:
     """Forward time-sharded all-pole filter. x: (B, T) with T divisible by
     the mesh's time-axis size; a: (B, T, p)."""
     p = a.shape[-1]
@@ -98,3 +99,41 @@ def allpole_timesharded(x: jax.Array, a: jax.Array, mesh: Mesh,
         out_specs=P(None, time_axis),
         check_vma=False)
     return fn(x.astype(jnp.float32), a.astype(jnp.float32))
+
+
+def allpole_timesharded(x: jax.Array, a: jax.Array, mesh: Mesh,
+                        time_axis: str = "time",
+                        block_size: Optional[int] = None) -> jax.Array:
+    """Differentiable time-sharded all-pole filter.
+
+    Backward uses the same O(T) adjoint as the single-chip kernel
+    (``ops/allpole.py``): the cotangent is filtered time-reversed through
+    the sharded forward with column-shifted coefficients, so gradients
+    also scale across the time axis. The coefficient shift/flip are plain
+    global ops — XLA inserts the (p-sample halo) resharding.
+    """
+    return _allpole_ts_vjp(x, a, mesh, time_axis, block_size)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _allpole_ts_vjp(x, a, mesh, time_axis, block_size):
+    return _allpole_timesharded_fwd_impl(x, a, mesh, time_axis, block_size)
+
+
+def _ts_fwd(x, a, mesh, time_axis, block_size):
+    y = _allpole_ts_vjp(x, a, mesh, time_axis, block_size)
+    return y, (y, a)
+
+
+def _ts_bwd(mesh, time_axis, block_size, res, g):
+    from ..ops.allpole import _delayed_stack, _shift_columns
+    y, a = res
+    c = _shift_columns(a)
+    dx = jnp.flip(
+        _allpole_timesharded_fwd_impl(
+            jnp.flip(g, 1), jnp.flip(c, 1), mesh, time_axis, block_size), 1)
+    da = -dx[..., None] * _delayed_stack(y, a.shape[-1])
+    return dx, da
+
+
+_allpole_ts_vjp.defvjp(_ts_fwd, _ts_bwd)

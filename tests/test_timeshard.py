@@ -104,3 +104,26 @@ def test_data_parallel_train_step_8dev():
     # grads are replicated (all-reduced over data axis by XLA)
     leaf = jax.tree_util.tree_leaves(grads)[0]
     assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_timesharded_gradients_match_scan():
+    """Adjoint of the time-sharded filter == autodiff through the scan."""
+    mesh = make_mesh(data=1, time=8)
+    rng = np.random.default_rng(3)
+    b, t, p = 1, 1024, 4
+    x = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32) * 0.3)
+    a = jnp.asarray(_smooth_coeffs(rng, b, t, p, scale=0.2))
+    w = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+
+    def loss_sharded(x, a):
+        return jnp.sum(allpole_timesharded(x, a, mesh) * w)
+
+    def loss_scan(x, a):
+        return jnp.sum(allpole_scan(x, a) * w)
+
+    gx_s, ga_s = jax.grad(loss_sharded, argnums=(0, 1))(x, a)
+    gx_r, ga_r = jax.grad(loss_scan, argnums=(0, 1))(x, a)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ga_s), np.asarray(ga_r),
+                               rtol=2e-3, atol=2e-4)
