@@ -169,3 +169,32 @@ def test_vocoder_chunked_ola_predict():
                               chunk_secs=6.0, hop_secs=5.7)
     assert out.shape == x.shape
     np.testing.assert_allclose(out, x, atol=1e-5)
+
+
+def test_trainer_test_metrics(tmp_path):
+    """Trainer.test computes avg_mss_loss + avg_mcd (reference
+    ltng/ae.py:221-274)."""
+    import yaml
+    from golf_tpu.config.registry import load_config
+    from golf_tpu.tasks.cli import build_from_config
+    from golf_tpu.train.loop import Trainer
+    cfg = load_config("cfg/ae/synthetic.yaml")
+    with open("cfg/ae/decoder/ddsp.yaml") as f:
+        dec = yaml.safe_load(f)
+    dec["decoder"]["init_args"]["harm_oscillator"]["init_args"][
+        "num_harmonics"] = 8
+    cfg["model"]["init_args"].update(dec)
+    cfg["data"]["init_args"].update({"batch_size": 2, "n_items": 8,
+                                     "duration": 0.5})
+    cfg["model"]["init_args"]["encoder_init_args"].update(
+        {"n_fft": 256, "channels": [4], "strides": [4],
+         "lstm_hidden_size": 8})
+    cfg["model"]["init_args"]["criterion"]["init_args"]["n_ffts"] = [256]
+    task, datamodule, _ = build_from_config(cfg)
+    trainer = Trainer(task, run_dir=str(tmp_path), max_steps=1,
+                      val_every_steps=10, log_every_steps=1)
+    datamodule.setup("fit")
+    state = trainer.init_state(next(iter(datamodule.train_dataloader())))
+    result = trainer.test(datamodule, state)
+    assert np.isfinite(result["avg_mss_loss"])
+    assert np.isfinite(result["avg_mcd"]) and result["avg_mcd"] > 0
