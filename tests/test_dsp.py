@@ -172,3 +172,15 @@ def test_decimate_fft_matches_direct():
         assert y_fft.shape[1] == -(-t // 4)
         np.testing.assert_allclose(y_dir, y_fft[:, :y_dir.shape[1]],
                                    atol=1e-4)
+
+
+def test_fft_conv_full_overlap_save():
+    from golf_tpu.ops.fftconv import fft_conv_full
+    rng = np.random.default_rng(20)
+    for t, taps, block in [(10000, 449, 2048), (500, 31, 8192)]:
+        x = rng.standard_normal((2, t)).astype(np.float32)
+        k = rng.standard_normal(taps).astype(np.float32)
+        y = np.asarray(fft_conv_full(jnp.asarray(x), jnp.asarray(k), block))
+        ref = np.stack([np.convolve(x[i], k, "full") for i in range(2)])
+        np.testing.assert_allclose(y, ref, rtol=1e-4,
+                                   atol=1e-4 * np.abs(ref).max())
