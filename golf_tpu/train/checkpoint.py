@@ -85,6 +85,8 @@ def load_checkpoint_variables(path: str, template: Dict) -> Dict:
     """Restore just model variables (params/stats/batch_stats) for
     inference/eval tooling."""
     ckptr = ocp.StandardCheckpointer()
-    sub = {k: template[k] for k in ("params", "stats", "batch_stats")
-           if k in template}
-    return ckptr.restore(os.path.abspath(path), sub)
+    # template-free restore (the checkpoint also carries opt_state/step,
+    # which eval tooling has no template for), then subset
+    full = ckptr.restore(os.path.abspath(path))
+    return {k: full[k] for k in ("params", "stats", "batch_stats")
+            if k in full and k in template}

@@ -54,6 +54,10 @@ def main():
     fade = int(args.fade_secs * sr)
 
     ds = InferenceDataset(args.wav_dir, "test")
+    if len(ds) == 0:
+        # generic directory (no speaker-split structure): take every wav
+        ds = InferenceDataset(args.wav_dir, "train")
+        ds.files = sorted(pathlib.Path(args.wav_dir).glob("**/*.wav"))
     x0, f00, _ = ds[0]
     xs = Sig(jnp.asarray(x0[None, :chunk]), 1)
     f0s = Sig(jnp.asarray(f00[None, :chunk]), 1)
