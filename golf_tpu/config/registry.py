@@ -41,10 +41,9 @@ _ALIASES = {
 }
 
 _CLASS_RENAMES = {
+    # reference class whose name collides with torch's TransformerEncoder
     "golf_tpu.models.unet.TransformerEncoder":
         "golf_tpu.models.unet.TransformerEncoderBackbone",
-    "golf_tpu.models.filters.SampleBasedLTVMinimumPhaseFilter":
-        "golf_tpu.models.filters.SampleBasedLTVMinimumPhaseFilter",
 }
 
 _INTERP_RE = re.compile(r"^\$\{([^}]+)\}$")

@@ -54,8 +54,13 @@ def make_optimizer(lr: float = 1e-4, grad_clip: float = 0.5,
         "amsgrad": optax.amsgrad,
     }[optimizer](schedule, **kwargs)
     if grad_clip and grad_clip > 0:
-        return optax.chain(optax.clip_by_global_norm(grad_clip), opt)
-    return opt
+        opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    # The sample-wise IIR occasionally emits an inf-norm gradient when a
+    # learned filter momentarily rings; clip_by_global_norm(inf) = NaN,
+    # which would poison Adam state permanently. Skip such updates
+    # (recoverable spike) instead of dying at the first one; check_finite
+    # still aborts if the LOSS itself goes non-finite for many steps.
+    return optax.apply_if_finite(opt, max_consecutive_errors=100)
 
 
 class MetricsLogger:
