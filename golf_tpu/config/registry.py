@@ -31,6 +31,7 @@ _ALIASES = {
     "models.crepe": "golf_tpu.models.crepe",
     "models.tspn": "golf_tpu.models.tspn",
     "models.lpcnet": "golf_tpu.models.lpcnet",
+    "models.lpc": "golf_tpu.models.lpc",
     "loss.spec": "golf_tpu.loss.spec",
     "ltng.ae": "golf_tpu.tasks.ae",
     "ltng.vocoder": "golf_tpu.tasks.vocoder",

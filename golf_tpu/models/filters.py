@@ -489,15 +489,9 @@ class LTVMLSAFilter(LTVFilterInterface):
         return mc2sp_log(mc, self.fft_length, self.alpha,
                          lin_order=lin_order)
 
-    def __call__(self, ex: Sig, mc: Sig, **kwargs) -> Sig:
-        assert mc.hop == self.frame_period
+    def _filter_freq_domain(self, x: jax.Array, mc_d: jax.Array) -> jax.Array:
         n_fft = self.fft_length
         hop = self.frame_period
-        x = ex.data
-        frames = x.shape[1] // hop
-        x = x[:, : frames * hop]
-        mc_d = mc.data[:, :frames]
-
         log_mag = self._log_spectrum(mc_d)            # (B, F, n_fft//2+1)
         if self.phase in ("minimum", "min"):
             h = minimum_phase_response(log_mag)
@@ -505,15 +499,68 @@ class LTVMLSAFilter(LTVFilterInterface):
             h = jnp.exp(log_mag).astype(jnp.complex64)
         spec = stft_ops.stft(x, n_fft, hop, window=self.window, center=True)
         f = min(spec.shape[-1], h.shape[1])
-        out = stft_ops.istft(
+        return stft_ops.istft(
             spec[..., :f] * jnp.swapaxes(h[:, :f], 1, 2), n_fft, hop,
             window=self.window, center=True, length=x.shape[1])
+
+    def _filter_multi_stage(self, x: jax.Array, mc_d: jax.Array) -> jax.Array:
+        """Time-domain Taylor-cascade MLSA (reference :529-556 with
+        diffsptk ``mode='multi-stage'``, ``taylor_order``).
+
+        H(z) = exp(sum_k c_k z^-k) with c the unwarped causal cepstrum
+        (freqt to ``cep_order``); realized as
+        y = exp(c0) * sum_{t<=Q} C^t x / t! where C is the time-varying
+        FIR with taps c_1..c_K held constant within each frame — each
+        stage is one batched per-frame FFT convolution.
+        """
+        hop = self.frame_period
+        k_ord = self.cep_order or 4 * self.filter_order
+        c_lin = freqt(mc_d, k_ord, -self.alpha)       # (B, F, K+1)
+        gain = jnp.exp(c_lin[..., 0])                 # (B, F)
+        taps = c_lin.at[..., 0].set(0.0)
+
+        b, t = x.shape
+        frames = mc_d.shape[1]
+
+        def tv_fir(u: jax.Array) -> jax.Array:
+            up = jnp.pad(u, ((0, 0), (k_ord, 0)))
+            fr = _unfold(up, hop + k_ord, hop)        # (B, F', hop+K)
+            seg = _fft_frame_conv(fr[:, :frames], taps, hop,
+                                  correlate=False)
+            return seg.reshape(b, -1)
+
+        acc = x
+        term = x
+        for q in range(1, self.taylor_order + 1):
+            term = tv_fir(term) / q
+            acc = acc + term
+        return acc * jnp.repeat(gain, hop, axis=1)[:, :t]
+
+    def __call__(self, ex: Sig, mc: Sig, **kwargs) -> Sig:
+        assert mc.hop == self.frame_period
+        hop = self.frame_period
+        x = ex.data
+        frames = x.shape[1] // hop
+        x = x[:, : frames * hop]
+        mc_d = mc.data[:, :frames]
+        if self.mode == "multi-stage":
+            out = self._filter_multi_stage(x, mc_d)
+        else:  # 'freq-domain' (and 'single-stage', realized spectrally)
+            out = self._filter_freq_domain(x, mc_d)
         return Sig(out, 1)
 
 
 class LTVMLSAFilter2(LTVMLSAFilter):
-    """Explicit mc->spectrum STFT-domain variant (reference :626-684)."""
-    pass
+    """Explicit mc->spectrum STFT-domain variant (reference :626-684):
+    always the spectral realization, whatever ``mode`` says."""
+
+    def __call__(self, ex: Sig, mc: Sig, **kwargs) -> Sig:
+        assert mc.hop == self.frame_period
+        hop = self.frame_period
+        x = ex.data
+        frames = x.shape[1] // hop
+        x = x[:, : frames * hop]
+        return Sig(self._filter_freq_domain(x, mc.data[:, :frames]), 1)
 
 
 class LTVCepFilter(LTVFilterInterface):

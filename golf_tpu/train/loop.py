@@ -187,43 +187,54 @@ class Trainer:
                 self._train_step,
                 in_shardings=(repl, repl, repl, repl, data, data, repl),
                 donate_argnums=(0, 1))
-            self._val_step = jax.jit(
-                lambda params, stats, bstats, x, f0, rng: self.task.apply(
+            def val_fn(params, stats, bstats, x, f0, rng):
+                return self.task.apply(
                     {"params": params, "stats": stats,
                      "batch_stats": bstats},
                     Sig(x, 1), Sig(f0, 1),
                     rngs={"noise": rng, "dropout": rng},
-                    method=lambda m, *a, **kw: m.validation_step(*a, **kw)),
-                in_shardings=(repl, repl, repl, data, data, repl))
+                    method=lambda m, *a, **kw: m.validation_step(*a, **kw))
+            self._val_step = jax.jit(
+                val_fn, in_shardings=(repl, repl, repl, data, data, repl))
+            # replicated variant for the straggler remainder chunk
+            self._val_step_repl = jax.jit(
+                val_fn, in_shardings=(repl,) * 6)
         return self._compiled
 
-    def _truncate_to_mesh(self, x, f0):
-        """Sharded eval needs batch % data-axis == 0; trim stragglers."""
+    def _split_for_mesh(self, x, f0):
+        """Sharded eval needs batch % data-axis == 0. Instead of dropping
+        stragglers (which biases small test sets; reference weights all N,
+        ``ltng/ae.py:258-274``) split the batch into a sharded multiple-of-
+        mesh chunk plus a replicated remainder chunk — every sample is
+        scored, each chunk weighted by its own size."""
         d = self.mesh.shape["data"]
         keep = (x.shape[0] // d) * d
-        if keep == 0:
-            return None, None
-        return x[:keep], f0[:keep]
+        chunks = []
+        if keep:
+            chunks.append((x[:keep], f0[:keep], True))
+        if keep < x.shape[0]:
+            chunks.append((x[keep:], f0[keep:], False))
+        return chunks
 
     # -- loops ------------------------------------------------------------
     def validate(self, state: TrainState, loader, max_batches=None) -> Dict:
         self._compile()
         totals: Dict[str, float] = {}
-        n = 0
+        weight = 0.0
         rng = jax.random.key(self.seed + 999)
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
-            x, f0 = self._truncate_to_mesh(*batch[:2])
-            if x is None:
-                continue
-            out = self._val_step(state.params, state.stats,
-                                 state.batch_stats, jnp.asarray(x),
-                                 jnp.asarray(f0), rng)
-            for k, v in out.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            n += 1
-        return {("val_" + k): v / max(n, 1) for k, v in totals.items()}
+            for x, f0, sharded in self._split_for_mesh(*batch[:2]):
+                step = self._val_step if sharded else self._val_step_repl
+                out = step(state.params, state.stats, state.batch_stats,
+                           jnp.asarray(x), jnp.asarray(f0), rng)
+                w = x.shape[0]
+                for k, v in out.items():
+                    totals[k] = totals.get(k, 0.0) + float(v) * w
+                weight += w
+        return {("val_" + k): v / max(weight, 1)
+                for k, v in totals.items()}
 
     def fit(self, datamodule, state: Optional[TrainState] = None,
             ckpt_path: Optional[str] = None) -> TrainState:
@@ -298,28 +309,31 @@ class Trainer:
     def test(self, datamodule, state: TrainState) -> Dict:
         datamodule.setup("test")
         loader = datamodule.test_dataloader()
+        if self.mesh is None:
+            self._resolve_mesh(getattr(datamodule, "batch_size", 1))
         repl = NamedSharding(self.mesh, P())
         data = NamedSharding(self.mesh, P("data"))
-        test_step = jax.jit(
-            lambda params, stats, bstats, x, f0, rng: self.task.apply(
+        def test_fn(params, stats, bstats, x, f0, rng):
+            return self.task.apply(
                 {"params": params, "stats": stats, "batch_stats": bstats},
                 Sig(x, 1), Sig(f0, 1),
                 rngs={"noise": rng, "dropout": rng},
-                method=lambda m, *a, **kw: m.test_step(*a, **kw)),
-            in_shardings=(repl, repl, repl, data, data, repl))
+                method=lambda m, *a, **kw: m.test_step(*a, **kw))
+        test_step = jax.jit(
+            test_fn, in_shardings=(repl, repl, repl, data, data, repl))
+        test_step_repl = jax.jit(test_fn, in_shardings=(repl,) * 6)
         totals: Dict[str, float] = {}
         weights = 0.0
         rng = jax.random.key(self.seed + 12345)
         for batch in loader:
-            x, f0 = self._truncate_to_mesh(*batch[:2])
-            if x is None:
-                continue
-            out = test_step(state.params, state.stats, state.batch_stats,
-                            jnp.asarray(x), jnp.asarray(f0), rng)
-            n = float(out.pop("N", x.shape[0]))
-            for k, v in out.items():
-                totals[k] = totals.get(k, 0.0) + float(v) * n
-            weights += n
+            for x, f0, sharded in self._split_for_mesh(*batch[:2]):
+                step = test_step if sharded else test_step_repl
+                out = step(state.params, state.stats, state.batch_stats,
+                           jnp.asarray(x), jnp.asarray(f0), rng)
+                n = float(out.pop("N", x.shape[0]))
+                for k, v in out.items():
+                    totals[k] = totals.get(k, 0.0) + float(v) * n
+                weights += n
         result = {("avg_" + k): v / max(weights, 1)
                   for k, v in totals.items()}
         result["avg_mss_loss"] = result.pop("avg_loss", float("nan"))

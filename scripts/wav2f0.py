@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Batch f0 extraction -> .pv text files (reference scripts/wav2f0.py).
 
-Methods: 'dio' (default; WORLD-lite YIN-based, 5 ms hop),
-'native' (C++ worldlite if built). 5 ms hop, floor/ceil flags.
+Methods: 'dio' (default; WORLD-lite, 5 ms hop), 'native' (C++ worldlite
+if built), 'swipe' (SWIPE' sawtooth-inspired estimator, the
+pysptk.swipe equivalent), 'penn' (neural; requires pretrained weights —
+unavailable in this image, errors with an explicit message).
+5 ms hop, floor/ceil flags.
 """
 import argparse
 import pathlib
@@ -18,12 +21,23 @@ from golf_tpu.utils.wav import read_wav  # noqa: E402
 
 def process(task):
     path, out_path, floor, ceil, method = task
-    from golf_tpu.utils import native
     x, sr = read_wav(str(path))
     if x.ndim > 1:
         x = x.mean(-1)
-    f0, _ = native.dio(x.astype(np.float64), sr, f0_floor=floor,
-                       f0_ceil=ceil, frame_period=5.0)
+    if method == "swipe":
+        from golf_tpu.utils.swipe import swipe
+        f0 = swipe(x.astype(np.float64), sr,
+                   hopsize=int(sr * 5 / 1000), min=floor, max=ceil,
+                   otype="f0")
+    elif method == "penn":
+        raise SystemExit(
+            "penn is a neural pitch estimator that needs pretrained "
+            "weights; none are available in this image (no network "
+            "egress). Use --method dio or swipe.")
+    else:
+        from golf_tpu.utils import native
+        f0, _ = native.dio(x.astype(np.float64), sr, f0_floor=floor,
+                           f0_ceil=ceil, frame_period=5.0)
     np.savetxt(out_path, f0, fmt="%.3f")
     return str(path)
 
@@ -35,7 +49,7 @@ def main():
     ap.add_argument("--f0-floor", type=float, default=65.0)
     ap.add_argument("--f0-ceil", type=float, default=1047.0)
     ap.add_argument("--method", default="dio",
-                    choices=["dio", "native"])
+                    choices=["dio", "native", "swipe", "penn"])
     ap.add_argument("--workers", type=int, default=4)
     args = ap.parse_args()
 
