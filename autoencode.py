@@ -7,6 +7,10 @@ Usage:
 """
 import sys
 
+from golf_tpu.utils.axon_boot import ensure_fixed_session
+
+ensure_fixed_session("golf-tpu-train")
+
 from golf_tpu.tasks.cli import run
 
 if __name__ == "__main__":

@@ -19,10 +19,14 @@ import numpy as np
 from golf_tpu.utils.wav import read_wav
 
 try:
-    from pesq import pesq as _pesq  # optional C library
+    from pesq import pesq as _pesq  # optional ITU C library
     HAS_PESQ = True
 except ImportError:
     HAS_PESQ = False
+
+# first-party native P.862 implementation (native/pesq862.cpp)
+from golf_tpu.utils import pesq862 as _pesq862
+HAS_NATIVE_PESQ = _pesq862.available()
 
 
 def resample_to(x: np.ndarray, sr: int, target: int) -> np.ndarray:
@@ -66,6 +70,8 @@ def score_pair(pair):
     n = min(len(ref), len(deg))
     if HAS_PESQ:
         return _pesq(16000, ref[:n], deg[:n], "wb")
+    if HAS_NATIVE_PESQ:
+        return _pesq862.pesq(ref[:n], deg[:n], 16000, "wb")
     return _fwsegsnr_mos(ref[:n], deg[:n], 16000)
 
 
@@ -91,7 +97,9 @@ def main():
     with Pool(args.workers) as pool:
         scores = pool.map(score_pair, pairs)
     scores = np.asarray(scores)
-    label = "PESQ" if HAS_PESQ else "PESQ-proxy(fwSNRseg)"
+    label = ("PESQ" if HAS_PESQ else
+             "PESQ(p862-native)" if HAS_NATIVE_PESQ else
+             "PESQ-proxy(fwSNRseg)")
     print(f"{label}: {scores.mean():.3f} +/- {scores.std():.3f} "
           f"(n={len(scores)})")
 

@@ -35,6 +35,13 @@ class SSSLoss:
 
     def __call__(self, pred, target) -> jax.Array:
         hop = self.hop_length or self.n_fft // 4
+        from ..parallel import seqpar
+        env = seqpar.current()
+        if env is not None:
+            assert self.center, "sharded SSS requires center=True"
+            return seqpar.sss_loss_sharded(
+                _as_array(pred), _as_array(target), self.n_fft, hop,
+                self.alpha, self.window, self.eps, env)
         s_pred = stft_ops.spectrogram(
             _as_array(pred), self.n_fft, hop, window=self.window,
             power=1.0, center=self.center)

@@ -147,6 +147,16 @@ class LTVMinimumPhaseFilterPrecise(LTVFilterInterface):
 
     def __call__(self, ex: Sig, gain: Sig, a: Sig) -> Sig:
         assert ex.ndim == 2 and gain.ndim == 2 and a.ndim == 3
+        from ..parallel import seqpar
+        env = seqpar.current()
+        if env is not None:
+            # time-sharded: localize the replicated frame-rate gain and
+            # coefficients to this shard's sample window, then run the
+            # affine-summary boundary-exchange all-pole kernel
+            g = seqpar.localize(gain, env, 1) if gain.hop > 1 else gain
+            a_loc = seqpar.localize(a, env, 1) if a.hop > 1 else a
+            y = seqpar.allpole_sharded(ex.data * g.data, a_loc.data, env)
+            return Sig(y, 1)
         exg = ex * gain                       # hop-broadcast multiply
         a_up = a.reduce_hop_length()
         t = min(exg.steps, a_up.steps)
@@ -247,6 +257,13 @@ class LTVMinimumPhaseFIRFilter(LTVMinimumPhaseFIRFilterPrecise):
         hop = log_mag.hop
         kernel = self._window_kernel(minimum_phase_fir(log_mag.data))
         k = kernel.shape[-1]
+        from ..parallel import seqpar
+        env = seqpar.current()
+        if env is not None:
+            kl = seqpar.localize_frames(Sig(kernel, hop), env)
+            out = seqpar.fir_frame_conv_sharded(
+                ex.data, kl.data, hop, k - 1, False, env)
+            return Sig(out, 1)
         xp = jnp.pad(ex.data, ((0, 0), (k - 1, 0)))
         unfolded = _unfold(xp, k + hop - 1, hop)
         f = min(unfolded.shape[1], kernel.shape[1])
@@ -297,6 +314,13 @@ class LTVZeroPhaseFIRFilter(LTVZeroPhaseFIRFilterPrecise):
         kernel = self._window_kernel(zero_phase_fir(log_mag.data))
         k = kernel.shape[-1]
         padding = (k - 1) // 2
+        from ..parallel import seqpar
+        env = seqpar.current()
+        if env is not None:
+            kl = seqpar.localize_frames(Sig(kernel, hop), env)
+            out = seqpar.fir_frame_conv_sharded(
+                ex.data, kl.data, hop, padding, True, env)
+            return Sig(out, 1)
         xp = jnp.pad(ex.data, ((0, 0), (padding, padding)))
         unfolded = _unfold(xp, k + hop - 1, hop)
         f = min(unfolded.shape[1], kernel.shape[1])
@@ -353,6 +377,22 @@ class LTIAcousticFilter(FilterInterface):
         kernel = self.param(
             "kernel", nn.initializers.zeros, (self.length - 1,))
         x = ex.data
+        from ..parallel import seqpar
+        env = seqpar.current()
+        if env is not None:
+            # strictly-causal taps: left halo of L-2 neighbor samples,
+            # then one valid FFT correlation per shard
+            l = self.length - 1
+            ext = jnp.concatenate(
+                [seqpar.halo_left(x, l, env), x], axis=1)
+            # out[j] = sum_k kernel[k] ext[j+k] = full-conv(ext,
+            # flip(kernel))[j + l - 1]
+            nfft = 1 << (ext.shape[1] + l - 2).bit_length()
+            conv = jnp.fft.irfft(
+                jnp.fft.rfft(ext, nfft)
+                * jnp.fft.rfft(jnp.flip(kernel), nfft), nfft)
+            out = conv[:, l - 1: l - 1 + x.shape[1]]
+            return ex + Sig(out, 1)
         # out[n] = sum_k kernel[k] * x[n + k - (L-1)]  (delays 1..L-1),
         # realized as one rfft/irfft full convolution (the unfold-gather
         # and direct-conv forms are compile-hostile on TPU)

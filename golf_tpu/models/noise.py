@@ -24,11 +24,20 @@ class NoiseInterface(Controllable):
 
 
 class StandardNormalNoise(NoiseInterface):
-    """randn_like (reference :30-35)."""
+    """randn_like (reference :30-35).
+
+    Under time sharding the draw is made over the GLOBAL (B, T) shape and
+    window-sliced so the noise field is independent of the mesh layout."""
 
     @nn.compact
     def __call__(self, ref: Sig, *args, **kwargs) -> Sig:
+        from ..parallel import seqpar
         key = self.make_rng("noise")
+        env = seqpar.current()
+        if env is not None and ref.ndim == 2:
+            return ref.new(seqpar.slice_global_rng(
+                key, (env.b_global, env.t_global), env, "normal",
+                ref.dtype))
         return ref.new(jax.random.normal(key, ref.shape, ref.dtype))
 
 
@@ -37,8 +46,15 @@ class UniformNoise(NoiseInterface):
 
     @nn.compact
     def __call__(self, ref: Sig, *args, **kwargs) -> Sig:
+        from ..parallel import seqpar
         key = self.make_rng("noise")
-        u = jax.random.uniform(key, ref.shape, ref.dtype)
+        env = seqpar.current()
+        if env is not None and ref.ndim == 2:
+            u = seqpar.slice_global_rng(
+                key, (env.b_global, env.t_global), env, "uniform",
+                ref.dtype)
+        else:
+            u = jax.random.uniform(key, ref.shape, ref.dtype)
         return ref.new((u - 0.5) * 2 * math.sqrt(3))
 
 

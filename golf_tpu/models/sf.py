@@ -58,6 +58,10 @@ class SourceFilterSynth(Synth):
         harm_osc = self.harm_oscillator(phase, *harm_oscillator_params)
         if voicing is not None:
             # F.threshold(v, 0.5, 0): keep v where v > 0.5 else 0
+            from ..parallel import seqpar
+            env = seqpar.current()
+            if env is not None and voicing.hop > 1:
+                voicing = seqpar.localize(voicing, env, 1)
             gate = sig_where(voicing > 0.5, voicing, 0.0)
             harm_osc = harm_osc * gate
 

@@ -33,7 +33,8 @@ class OscillatorInterface(Controllable):
 
 
 def _bilinear_table_lookup(wrapped_phase: jax.Array, tables: jax.Array,
-                           hop: int) -> jax.Array:
+                           hop: int, row0: Optional[jax.Array] = None
+                           ) -> jax.Array:
     """grid_sample-equivalent lookup (reference ``GlottalFlowTable.generate``,
     ``models/synth.py:124-177``).
 
@@ -51,7 +52,16 @@ def _bilinear_table_lookup(wrapped_phase: jax.Array, tables: jax.Array,
     s = tables.shape[-1]
     blocks = (t + hop - 1) // hop
     frames = tables.shape[1]
-    if frames < blocks + 1:
+    if row0 is not None:
+        # time-sharded path: ``wrapped_phase`` is a local window whose
+        # first sample sits at global frame ``row0`` (traced); slice the
+        # replicated table rows for this window (edge-padded first so
+        # every shard sees blocks+1 rows).
+        need = blocks + 1
+        tables = jnp.concatenate(
+            [tables, jnp.repeat(tables[:, -1:], need, axis=1)], axis=1)
+        tables = jax.lax.dynamic_slice_in_dim(tables, row0, need, axis=1)
+    elif frames < blocks + 1:
         pad = blocks + 1 - frames
         tables = jnp.concatenate(
             [tables, jnp.repeat(tables[:, -1:], pad, axis=1)], axis=1)
@@ -140,6 +150,11 @@ class IndexedGlottalFlowTable(GlottalFlowTable):
     def __call__(self, phase: Sig, table_select_weight: Sig,
                  phase_offset: Optional[Sig] = None) -> Sig:
         assert table_select_weight.ndim == 2
+        from ..parallel import seqpar
+        env = seqpar.current()
+        if env is not None:
+            return self._call_sharded(phase, table_select_weight,
+                                      phase_offset, env)
         interp = self._interp_tables(table_select_weight)
         k = self.oversampling
         if k > 1:
@@ -156,6 +171,39 @@ class IndexedGlottalFlowTable(GlottalFlowTable):
         if k > 1:
             y = Sig(decimate(y.data, k), 1)
         return y
+
+    def _call_sharded(self, phase: Sig, table_select_weight: Sig,
+                      phase_offset, env) -> Sig:
+        """Time-sharded source generation: oversampled phase integration
+        via global cumsum, wavetable lookup against the replicated table
+        frames at a per-shard row offset, halo-exchanged decimation."""
+        from ..parallel import seqpar
+        assert phase_offset is None, "phase_offset unsupported when sharded"
+        assert phase.hop == 1
+        interp = self._interp_tables(table_select_weight)  # global frames
+        k = self.oversampling
+        if k > 1:
+            ph = seqpar.upsample_local(phase.data / k, k, env)
+        else:
+            ph = phase.data
+        instant = seqpar.global_cumsum(ph.astype(jnp.float32), env)
+        wrapped = instant % 1
+        hop_os = interp.hop * k
+        t_os_loc = ph.shape[1]
+        assert t_os_loc % hop_os == 0, (t_os_loc, hop_os)
+        row0 = seqpar.tidx(env) * (t_os_loc // hop_os)
+        out = _bilinear_table_lookup(wrapped, interp.data, hop_os,
+                                     row0=row0)
+        if self.equal_energy:
+            out = out * jnp.where(ph > 0, jax.lax.rsqrt(
+                jnp.where(ph > 0, ph, 1.0)), 0.0)
+        if k > 1:
+            # zero the beyond-signal oversampled tail (global length is
+            # (T-1)*k + 1), then decimate with halo exchange
+            gidx = (seqpar.tidx(env) * t_os_loc + jnp.arange(t_os_loc))
+            out = jnp.where(gidx <= (env.t_global - 1) * k, out, 0.0)
+            out = seqpar.decimate_sharded(out, k, env)
+        return Sig(out, 1)
 
 
 class WeightedGlottalFlowTable(GlottalFlowTable):
@@ -262,11 +310,22 @@ class HarmonicOscillator(OscillatorInterface):
     def _synth(self, phase: Sig, amplitudes: Sig,
                initial_phase: Optional[jax.Array] = None,
                phase_offset: Optional[Sig] = None) -> Sig:
+        from ..parallel import seqpar
+        env = seqpar.current()
         n_harm = amplitudes.shape[-1]
         harm_series = jnp.arange(1, n_harm + 1, dtype=jnp.float32)
-        up_phase = phase.reduce_hop_length()          # (B, T) hop 1
-        # one fp32 cumsum; per-harmonic phase = k * cumsum(phase)
-        base = jnp.cumsum(up_phase.data.astype(jnp.float32), axis=1)
+        if env is not None:
+            assert initial_phase is None and phase_offset is None
+            assert phase.hop == 1
+            up_phase = phase
+            base = seqpar.global_cumsum(
+                up_phase.data.astype(jnp.float32), env)
+            amplitudes = seqpar.localize(amplitudes, env, 1) \
+                if amplitudes.hop > 1 else amplitudes
+        else:
+            up_phase = phase.reduce_hop_length()      # (B, T) hop 1
+            # one fp32 cumsum; per-harmonic phase = k * cumsum(phase)
+            base = jnp.cumsum(up_phase.data.astype(jnp.float32), axis=1)
         inst = base[..., None] * harm_series          # (B, T, n)
         if phase_offset is not None:
             inst = inst + phase_offset.data[..., None] * harm_series
@@ -349,6 +408,20 @@ class PulseTrain(OscillatorInterface):
 
     @nn.compact
     def __call__(self, phase: Sig, phase_offset: Optional[Sig] = None) -> Sig:
+        from ..parallel import seqpar
+        env = seqpar.current()
+        if env is not None:
+            assert phase_offset is None and phase.hop == 1
+            up = phase.data
+            instant = seqpar.global_cumsum(up.astype(jnp.float32), env)
+            wrapped = instant % 1
+            prev = jnp.concatenate(
+                [seqpar.halo_left(wrapped, 1, env), wrapped[:, :-1]],
+                axis=1)
+            # shard 0's first sample sees prev=0 <= wrapped -> no pulse,
+            # matching the unsharded out[0] = 0
+            transition = (wrapped - prev) < 0
+            return Sig(jnp.where(transition, jax.lax.rsqrt(up), 0.0), 1)
         up = phase.reduce_hop_length().data
         instant = jnp.cumsum(up.astype(jnp.float32), axis=1)
         if phase_offset is not None:

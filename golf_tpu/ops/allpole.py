@@ -56,6 +56,9 @@ def allpole_scan(x: jax.Array, a: jax.Array,
     b, t = x.shape
     p = a.shape[-1]
     state0 = jnp.zeros((b, p), x.dtype) if zi is None else zi
+    # tie the carry's device-varying type to the input's (no-op outside
+    # shard_map; required for vma type-checking when called in-shard)
+    state0 = state0 + 0 * x[:, :1]
 
     def step(s, inp):
         x_t, a_t = inp
@@ -84,10 +87,11 @@ def _allpole_blocked(x: jax.Array, a: jax.Array, zi: jax.Array,
 
     # Pass A: per-block affine tracking. W: (B, K, p, p+1);
     # rows are [y[t-1], ..., y[t-p]] as affine functions of [s_in; 1].
+    # (+ 0*xp: carry vma typing, see allpole_scan)
     eye = jnp.broadcast_to(
         jnp.concatenate([jnp.eye(p, dtype=x.dtype),
                          jnp.zeros((p, 1), x.dtype)], axis=1),
-        (bsz, k, p, p + 1))
+        (bsz, k, p, p + 1)) + 0 * xp[:, :, :1, None]
 
     def step_a(w, inp):
         x_t, a_t = inp  # (B,K), (B,K,p)

@@ -1,0 +1,670 @@
+"""Sequence (time-axis) parallelism for the full synthesis chain.
+
+Round-1 shipped time-sharding as an isolated all-pole op; this module makes
+it an end-to-end capability (SURVEY.md §2.5 north-star): the complete
+GOLF synthesis chain — phase integration, wavetable lookup, oversampled
+decimation, zero-phase FIR noise shaping, the sample-wise time-varying
+all-pole filter, the LTI room filter, and the MSS loss — runs inside ONE
+``shard_map`` over a (data × time) mesh with every sample-rate tensor
+sharded along time.
+
+Design (TPU-first, not a translation — the reference has no sequence
+parallelism at all):
+
+* **Frame-rate tensors stay replicated, sample-rate tensors shard.** The
+  neural encoder works at frame rate (hop≥240): its inputs/outputs are
+  ~240x smaller than the waveform, so each time-shard computes the full
+  frame-rate control tensors redundantly (one tiled all_gather of the
+  input waveform) and the expensive sample-rate DSP — where the memory
+  and FLOPs live — is sharded. ``localize()`` converts a replicated
+  frame-rate ``Sig`` into this shard's sample-rate window, fusing the
+  hop-algebra linear upsample with the window slice.
+* **Boundary exchange per op class**:
+  - IIR (all-pole): each shard summarizes its chunk as an affine map
+    ``s_out = M s_in + v`` (p x (p+1) floats); one tiny ``all_gather``
+    + local prefix composition recovers every shard's true incoming
+    state — O(p^2) communication regardless of T.
+  - FIR / framed ops (noise filter, decimation, STFT losses): halo
+    exchange (overlap-save) via ``ppermute`` of the kernel-support
+    samples.
+  - Phase integration: local ``cumsum`` + all_gather of per-shard sums
+    (exclusive prefix offset).
+* **Exact parity**: with the same params and rng keys, the sharded
+  training step computes bit-comparable loss and gradients to the
+  single-device step (tests/test_seqpar.py) — RNG draws are made over
+  global shapes and window-sliced so shard boundaries do not change the
+  noise.
+
+The env is trace-time state: modules consult ``seqpar.current()`` and
+take their sharded branch when active (static Python branching — each
+mesh layout is its own jit trace, XLA-friendly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from contextlib import contextmanager
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.sig import Sig, linear_upsample
+
+_ACTIVE: list = []
+
+
+@dataclasses.dataclass
+class SeqParEnv:
+    """Static trace-time context for one sharded step."""
+
+    time_axis: str
+    n_time: int
+    t_global: int          # global sample-rate length
+    b_global: int          # global batch
+    data_axis: Optional[str] = None
+    n_data: int = 1
+    # Longest prefix of the output that is exactly the unsharded result
+    # (coefficient upsampling runs out of frames near the global end and
+    # the sharded chain edge-holds instead of truncating; the loss is
+    # restricted to this region). Updated during the decoder trace.
+    valid_len: Optional[int] = None
+
+    @property
+    def t_local(self) -> int:
+        return self.t_global // self.n_time
+
+    def shrink_valid(self, n: int):
+        self.valid_len = n if self.valid_len is None else min(
+            self.valid_len, n)
+
+
+def current() -> Optional[SeqParEnv]:
+    return _ACTIVE[-1] if _ACTIVE else None
+
+
+@contextmanager
+def activate(env: SeqParEnv):
+    _ACTIVE.append(env)
+    try:
+        yield env
+    finally:
+        _ACTIVE.pop()
+
+
+# ---------------------------------------------------------------------------
+# collective helpers (call inside the shard_map body)
+# ---------------------------------------------------------------------------
+
+def tidx(env: SeqParEnv):
+    return lax.axis_index(env.time_axis)
+
+
+def halo_left(x: jax.Array, n: int, env: SeqParEnv) -> jax.Array:
+    """Last ``n`` time samples of the LEFT neighbor (zeros on shard 0).
+    Time axis is dim 1."""
+    if n == 0:
+        return x[:, :0]
+    src = x[:, -n:]
+    perm = [(i, i + 1) for i in range(env.n_time - 1)]
+    return lax.ppermute(src, env.time_axis, perm)
+
+
+def halo_right(x: jax.Array, n: int, env: SeqParEnv) -> jax.Array:
+    """First ``n`` time samples of the RIGHT neighbor (zeros on the last
+    shard)."""
+    if n == 0:
+        return x[:, :0]
+    src = x[:, :n]
+    perm = [(i + 1, i) for i in range(env.n_time - 1)]
+    return lax.ppermute(src, env.time_axis, perm)
+
+
+def global_cumsum(x: jax.Array, env: SeqParEnv) -> jax.Array:
+    """Cumsum along global time for a time-sharded (B, T_loc) array:
+    local cumsum + exclusive prefix of shard totals (one tiny
+    all_gather)."""
+    loc = jnp.cumsum(x, axis=1)
+    totals = lax.all_gather(loc[:, -1], env.time_axis)     # (n, B)
+    k = tidx(env)
+    mask = (jnp.arange(env.n_time) < k).astype(x.dtype)
+    offset = jnp.einsum("n,nb->b", mask, totals)
+    return loc + offset[:, None]
+
+
+def global_flip(x: jax.Array, env: SeqParEnv) -> jax.Array:
+    """Reverse the global time axis of a time-sharded array: flip locally
+    and mirror the shard order."""
+    perm = [(i, env.n_time - 1 - i) for i in range(env.n_time)]
+    return lax.ppermute(jnp.flip(x, 1), env.time_axis, perm)
+
+
+def gather_time(x: jax.Array, env: SeqParEnv) -> jax.Array:
+    """All-gather the global time axis (tiled): (B, T_loc) -> (B, T)."""
+    return lax.all_gather(x, env.time_axis, axis=1, tiled=True)
+
+
+def gather_sig(sig: Sig, env: SeqParEnv) -> Sig:
+    return Sig(gather_time(sig.data, env), sig.hop)
+
+
+def slice_global_rows(arr: jax.Array, env: SeqParEnv) -> jax.Array:
+    """Slice this data-shard's batch rows out of a global-batch array."""
+    b_loc = env.b_global // env.n_data
+    r0 = (lax.axis_index(env.data_axis) * b_loc
+          if env.data_axis else jnp.int32(0))
+    return lax.dynamic_slice_in_dim(arr, r0, b_loc, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# frame-rate -> local-window conversion
+# ---------------------------------------------------------------------------
+
+def localize(sig: Sig, env: SeqParEnv, to_hop: int = 1) -> Sig:
+    """Replicated frame-rate ``Sig`` -> this shard's local window at
+    ``to_hop``.
+
+    Fuses the reference hop-algebra upsample (align-corners linear to
+    ``(F-1)*hop+1`` points, ``models/utils.py:538-544``) with the window
+    slice: rows ``[k*F_loc, k*F_loc + F_loc]`` inclusive reproduce the
+    global interpolation exactly on samples ``[k*T_loc, (k+1)*T_loc)``.
+    Past the last global row the window edge-holds; the affected suffix is
+    excluded from the loss via ``env.valid_len``.
+    """
+    hop = sig.hop
+    tl = env.t_local
+    assert tl % hop == 0, (
+        f"T_local={tl} must be a multiple of hop={hop} for time sharding")
+    assert hop % to_hop == 0
+    f_loc = tl // hop
+    f_glob_needed = env.n_time * f_loc + 1
+    d = sig.data
+    f_have = d.shape[1]
+    if f_have < f_glob_needed:
+        # edge-hold rows; the valid prefix ends where real frames end
+        pad = f_glob_needed - f_have
+        d = jnp.concatenate(
+            [d, jnp.repeat(d[:, -1:], pad, axis=1)], axis=1)
+        env.shrink_valid((f_have - 1) * hop + 1)
+    row0 = tidx(env) * f_loc
+    win = lax.dynamic_slice_in_dim(d, row0, f_loc + 1, axis=1)
+    if to_hop == hop:
+        return Sig(win[:, :f_loc], hop)
+    factor = hop // to_hop
+    up = linear_upsample(win, factor, axis=1)       # (B, f_loc*factor + 1)
+    return Sig(up[:, : tl // to_hop], to_hop)
+
+
+def localize_frames(sig: Sig, env: SeqParEnv) -> Sig:
+    """Replicated frame-rate ``Sig`` -> this shard's frame rows (no
+    upsample): rows ``[k*F_loc, (k+1)*F_loc)``."""
+    hop = sig.hop
+    tl = env.t_local
+    assert tl % hop == 0, (tl, hop)
+    f_loc = tl // hop
+    d = sig.data
+    need = env.n_time * f_loc
+    if d.shape[1] < need:
+        pad = need - d.shape[1]
+        d = jnp.concatenate(
+            [d, jnp.repeat(d[:, -1:], pad, axis=1)], axis=1)
+        env.shrink_valid(d.shape[1] * hop - pad * hop)
+    win = lax.dynamic_slice_in_dim(d, tidx(env) * f_loc, f_loc, axis=1)
+    return Sig(win, hop)
+
+
+def upsample_local(x: jax.Array, k: int, env: SeqParEnv) -> jax.Array:
+    """Align-corners linear upsample of a time-sharded (B, T_loc) array by
+    ``k`` with a 1-sample right halo, so segment interpolation is exact
+    across shard boundaries. Output (B, T_loc*k); global samples past
+    ``(T-1)*k`` (which do not exist in the unsharded result) are zeroed.
+    """
+    if k == 1:
+        return x
+    nxt = halo_right(x, 1, env)
+    # last shard has no right neighbor: edge-hold (values are zeroed below)
+    is_last = tidx(env) == env.n_time - 1
+    nxt = jnp.where(is_last, x[:, -1:], nxt)
+    up = linear_upsample(jnp.concatenate([x, nxt], axis=1), k, axis=1)
+    up = up[:, : x.shape[1] * k]
+    # zero the beyond-signal suffix on the last shard: global upsampled
+    # length is (T-1)*k + 1
+    g0 = tidx(env) * x.shape[1] * k
+    gidx = g0 + jnp.arange(x.shape[1] * k)
+    return jnp.where(gidx <= (env.t_global - 1) * k, up, 0.0)
+
+
+def slice_global_rng(key: jax.Array, shape_global: Tuple[int, int],
+                     env: SeqParEnv, kind: str = "normal",
+                     dtype=jnp.float32, **kw) -> jax.Array:
+    """Draw over the GLOBAL (B, T) shape and slice this shard's window,
+    so rng values are independent of the mesh layout (exact parity with
+    the unsharded step). The unsliced remainder is dead code XLA can
+    elide."""
+    b_g, t_g = shape_global
+    if kind == "normal":
+        full = jax.random.normal(key, shape_global, dtype)
+    elif kind == "uniform":
+        full = jax.random.uniform(key, shape_global, dtype, **kw)
+    else:
+        raise ValueError(kind)
+    b_loc = b_g // env.n_data
+    t_loc = t_g // env.n_time
+    r0 = (lax.axis_index(env.data_axis) * b_loc
+          if env.data_axis else jnp.int32(0))
+    c0 = tidx(env) * t_loc
+    return lax.dynamic_slice(full, (r0, c0), (b_loc, t_loc))
+
+
+# ---------------------------------------------------------------------------
+# sharded all-pole (affine-summary boundary exchange) with custom VJP
+# ---------------------------------------------------------------------------
+
+def _divisor_block(t: int) -> int:
+    """Largest divisor of t in [8, 1024] closest to sqrt(t); falls back to
+    t (sequential) for awkward lengths. The affine end-state summary must
+    NOT zero-pad to a block multiple: a zero-coefficient padded step
+    shifts zeros into the tracked state and corrupts the chunk's end-state
+    map (caught by the order-22 T=57600 parity test)."""
+    import math as _math
+    target = max(8, int(_math.sqrt(t)))
+    best = None
+    for l in range(8, min(t, 1024) + 1):
+        if t % l == 0:
+            if best is None or abs(l - target) < abs(best - target):
+                best = l
+    return best or t
+
+
+def _local_affine_summary(x: jax.Array, a: jax.Array, block_size: int):
+    """Affine end-state map (M, v) of a full local chunk:
+    s_out = M s_in + v."""
+    bsz, t = x.shape
+    p = a.shape[-1]
+    l = _divisor_block(t)
+    k = t // l
+    xp = x.reshape(bsz, k, l)
+    ap = a.reshape(bsz, k, l, p)
+
+    # the `+ 0 * xp[...]` ties the carry's device-varying type to the
+    # input's so the scan type-checks under shard_map vma tracking
+    eye = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(p, dtype=x.dtype),
+                         jnp.zeros((p, 1), x.dtype)], axis=1),
+        (bsz, k, p, p + 1)) + 0 * xp[:, :, :1, None]
+
+    def step(w, inp):
+        x_t, a_t = inp
+        r = -jnp.einsum("bkp,bkpq->bkq", a_t, w)
+        r = r.at[..., p].add(x_t)
+        w = jnp.concatenate([r[:, :, None, :], w[:, :, :-1, :]], axis=2)
+        return w, None
+
+    w_end, _ = lax.scan(step, eye,
+                        (jnp.moveaxis(xp, 2, 0), jnp.moveaxis(ap, 2, 0)))
+    m_blk = w_end[..., :p]
+    v_blk = w_end[..., p]
+
+    def combine(e1, e2):
+        m1, v1 = e1
+        m2, v2 = e2
+        return (jnp.einsum("bkij,bkjl->bkil", m2, m1),
+                jnp.einsum("bkij,bkj->bki", m2, v1) + v2)
+
+    m_cum, v_cum = lax.associative_scan(combine, (m_blk, v_blk), axis=1)
+    return m_cum[:, -1], v_cum[:, -1]     # (B, p, p), (B, p)
+
+
+def _allpole_sharded_fwd(x: jax.Array, a: jax.Array, env: SeqParEnv,
+                         block_size: Optional[int] = None) -> jax.Array:
+    """Forward time-sharded all-pole INSIDE an active shard_map body.
+    x: (B, T_loc); a: (B, T_loc, p)."""
+    from ..ops.allpole import _allpole_impl, _choose_block
+    p = a.shape[-1]
+    bs = block_size or _choose_block(x.shape[1])
+    m_dev, v_dev = _local_affine_summary(x, a, bs)
+    m_all = lax.all_gather(m_dev, env.time_axis)     # (n, B, p, p)
+    v_all = lax.all_gather(v_dev, env.time_axis)
+    k = tidx(env)
+
+    def compose(carry, mv):
+        m, v = mv
+        new = jnp.einsum("bij,bj->bi", m, carry) + v
+        return new, carry
+
+    zi0 = jnp.zeros((x.shape[0], p), x.dtype) + 0 * x[:, :1]
+    _, prefixes = lax.scan(compose, zi0, (m_all, v_all))
+    s_in = prefixes[k]
+    return _allpole_impl(x, a, s_in, bs)
+
+
+def _shift_columns_sharded(a: jax.Array, env: SeqParEnv) -> jax.Array:
+    """Sharded version of ``ops.allpole._shift_columns``:
+    c[:, n, j] = a_global[:, n + j + 1, j] needs a right halo of p rows."""
+    p = a.shape[-1]
+    ext = jnp.concatenate([a, halo_right(a, p, env)], axis=1)
+    cols = [ext[:, j + 1: j + 1 + a.shape[1], j] for j in range(p)]
+    return jnp.stack(cols, axis=-1)
+
+
+def _delayed_stack_sharded(y: jax.Array, p: int, env: SeqParEnv) -> jax.Array:
+    """d[:, n, j] = y_global[:, n - j - 1]: left halo of p samples."""
+    ext = jnp.concatenate([halo_left(y, p, env), y], axis=1)
+    cols = [ext[:, p - j - 1: p - j - 1 + y.shape[1]] for j in range(p)]
+    return jnp.stack(cols, axis=-1)
+
+
+def allpole_sharded(x: jax.Array, a: jax.Array, env: SeqParEnv,
+                    block_size: Optional[int] = None) -> jax.Array:
+    """Differentiable time-sharded all-pole filter, for use INSIDE a
+    shard_map body. Same O(T) adjoint as the single-chip kernel
+    (``ops/allpole.py``): the cotangent is filtered globally-time-reversed
+    through the sharded forward with halo-shifted coefficients."""
+    static = _EnvStatic(env, block_size)
+    return _allpole_sharded_vjp(x.astype(jnp.float32),
+                                a.astype(jnp.float32), static)
+
+
+class _EnvStatic:
+    """Hashable wrapper so the env rides custom_vjp's nondiff slot."""
+
+    def __init__(self, env: SeqParEnv, block_size: Optional[int]):
+        self.env = env
+        self.block_size = block_size
+
+    def __hash__(self):
+        e = self.env
+        return hash((e.time_axis, e.n_time, e.data_axis, e.n_data,
+                     e.t_global, e.b_global, self.block_size))
+
+    def __eq__(self, other):
+        return isinstance(other, _EnvStatic) and hash(self) == hash(other)
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _allpole_sharded_vjp(x, a, static):
+    return _allpole_sharded_fwd(x, a, static.env, static.block_size)
+
+
+def _as_fwd(x, a, static):
+    y = _allpole_sharded_vjp(x, a, static)
+    return y, (y, a)
+
+
+def _as_bwd(static, res, g):
+    env = static.env
+    y, a = res
+    p = a.shape[-1]
+    c = _shift_columns_sharded(a, env)
+    dxr = _allpole_sharded_fwd(global_flip(g, env), global_flip(c, env),
+                               env, static.block_size)
+    dx = global_flip(dxr, env)
+    da = -dx[..., None] * _delayed_stack_sharded(y, p, env)
+    return dx, da
+
+
+_allpole_sharded_vjp.defvjp(_as_fwd, _as_bwd)
+
+
+# ---------------------------------------------------------------------------
+# sharded FIR building blocks
+# ---------------------------------------------------------------------------
+
+def fir_frame_conv_sharded(x: jax.Array, kernels_local: jax.Array,
+                           hop: int, pad: int, correlate: bool,
+                           env: SeqParEnv) -> jax.Array:
+    """Frame-wise FIR over a time-sharded signal (the LTV zero-/min-phase
+    FIR realization, reference ``models/filters.py:340-384``): global
+    zero-pad ``pad`` left / (K-1-pad) right becomes a halo exchange; each
+    shard convolves its own frames.
+
+    x: (B, T_loc); kernels_local: (B, F_loc, K) — this shard's kernel rows
+    (from ``localize_frames``). Returns (B, T_loc).
+    """
+    from ..models.filters import _fft_frame_conv, _unfold
+    k = kernels_local.shape[-1]
+    tl = x.shape[1]
+    assert tl % hop == 0
+    f_loc = tl // hop
+    right = k - 1 - pad + hop - 1
+    ext = jnp.concatenate(
+        [halo_left(x, pad, env), x, halo_right(x, right, env)], axis=1)
+    frames = _unfold(ext, k + hop - 1, hop)[:, :f_loc]
+    out = _fft_frame_conv(frames, kernels_local[:, :f_loc], hop, correlate)
+    return out.reshape(x.shape[0], tl)
+
+
+def decimate_sharded(x: jax.Array, q: int, env: SeqParEnv,
+                     kernel: Optional[np.ndarray] = None) -> jax.Array:
+    """Anti-aliased decimation of a time-sharded signal ('same'-padded
+    lowpass then stride — ``ops/resample.decimate`` semantics). Shard
+    length must be a multiple of q."""
+    from ..ops.resample import sinc_kernel
+    if kernel is None:
+        kernel = sinc_kernel(q)
+    half = (kernel.shape[0] - 1) // 2
+    tl = x.shape[1]
+    assert tl % q == 0
+    ext = jnp.concatenate(
+        [halo_left(x, half, env), x, halo_right(x, half, env)], axis=1)
+    kj = jnp.asarray(kernel, x.dtype)
+    n = ext.shape[1] + kernel.shape[0] - 1
+    nfft = 1 << (n - 1).bit_length()
+    conv = jnp.fft.irfft(
+        jnp.fft.rfft(ext, nfft) * jnp.fft.rfft(kj, nfft), nfft)
+    # valid part starts at 2*half into the full conv of ext
+    return conv[..., 2 * half: 2 * half + tl: q]
+
+
+# ---------------------------------------------------------------------------
+# sharded STFT magnitude-loss terms
+# ---------------------------------------------------------------------------
+
+def sharded_frames(x: jax.Array, n_fft: int, hop: int, env: SeqParEnv,
+                   valid_len: int, pad_mode: str = "reflect"
+                   ) -> Tuple[jax.Array, jax.Array, int]:
+    """Extract this shard's STFT frames of the global valid signal
+    (center=True semantics) with halo exchange.
+
+    Returns (frames (B, F_max, n_fft), mask (F_max,), f_global):
+    masked frame slots are garbage and must be excluded from reductions.
+    Frame f (global) covers padded coords [f*hop, f*hop+n_fft) where the
+    padded signal is reflect-padded by n_fft//2 on both ends; frame f is
+    owned by the shard whose range contains its unpadded start
+    ``f*hop - pad`` (clamped — early frames belong to shard 0).
+    """
+    b, tl = x.shape
+    n = env.n_time
+    pad = n_fft // 2
+    assert tl >= n_fft + hop, (tl, n_fft)
+    tail_invalid = env.n_time * tl - valid_len
+    assert tail_invalid < tl, "invalid tail must live on the last shard"
+    # right-edge reflection must not run off the last shard's valid part
+    assert tl - tail_invalid >= n_fft + hop + 2, (tl, tail_invalid, n_fft)
+
+    f_global = 1 + (valid_len + 2 * pad - n_fft) // hop
+    f_max = tl // hop + 2
+
+    k = tidx(env)
+    is_last = k == n - 1
+
+    # local buffer in padded coords: [k*tl, k*tl + tl + pad + n_fft + hop)
+    # = own samples + right halo, with shard-0's left reflect pad
+    # prepended (only ever indexed on shard 0).
+    halo_r = halo_right(x, min(tl, n_fft + hop), env)
+    # right-edge reflect for the LAST shard, built from the valid tail:
+    # padded[T_valid + pad + j] = x[T_valid - 2 - j] (torch reflect)
+    tv_loc = tl - tail_invalid      # valid samples on the last shard
+    # halo_r slot r sits at padded coord p + T_glob + r = p + T_valid +
+    # (tail_invalid + r): reflect index T_valid - 2 - (tail_invalid + r)
+    ridx = jnp.arange(halo_r.shape[1])
+    refl_src = jnp.clip(tv_loc - 2 - tail_invalid - ridx, 0, tl - 1)
+    right_edge = x[:, refl_src]
+    halo_r = jnp.where(is_last, right_edge, halo_r)
+    # on the last shard, samples in [tv_loc, tl) are invalid: the frames
+    # that touch them re-read the reflected values instead
+    own = x
+    if tail_invalid > 0:
+        jj = jnp.arange(tl)
+        own_refl = jnp.clip(2 * (tv_loc - 1) - jj, 0, tl - 1)
+        own = jnp.where(is_last & (jj >= tv_loc)[None, :],
+                        x[:, own_refl], x)
+
+    # buf[s] must hold padded coord k*tl + s. For s < pad that is
+    # x_global[k*tl + s - pad]: the left neighbor's tail (halo) on k>0,
+    # the global reflect pad (own samples x[1..pad] reversed) on shard 0.
+    left_reflect = x[:, 1:pad + 1][:, ::-1]
+    left_part = jnp.where(k == 0, left_reflect,
+                          halo_left(x, pad, env))
+    buf = jnp.concatenate([left_part, own, halo_r], axis=1)
+    # buf coords: sample s of buf = padded coord (k*tl) + s  - pad... :
+    # buf[0] is padded coord k*tl (for k=0 this is the reflect region
+    # start thanks to the prepended pad; for k>0 buf[0..pad) is unused).
+    # Actually: padded coord of buf[s] = k*tl + s  (since padded signal
+    # index = unpadded + pad, and buf[pad] = x_local[0] = unpadded k*tl).
+
+    # first frame owned by this shard: smallest f with f*hop >= k*tl
+    # for k>0; shard 0 owns all f with f*hop < tl (including the early
+    # reflect frames).
+    first_f = jnp.where(k == 0, 0, -(-(k * tl) // hop))
+    slot = jnp.arange(f_max)
+    f_ids = first_f + slot
+    next_first = -(-((k + 1) * tl) // hop)
+    mask = (f_ids < jnp.where(is_last, f_global,
+                              jnp.minimum(next_first, f_global)))
+    # buffer position of frame f: padded coord f*hop -> buf index
+    # f*hop - k*tl
+    starts = jnp.clip(f_ids * hop - k * tl, 0,
+                      buf.shape[1] - n_fft)
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    frames = buf[:, idx]                          # (B, F_max, n_fft)
+    return frames, mask.astype(x.dtype), f_global
+
+
+def sss_loss_sharded(pred: jax.Array, target: jax.Array, n_fft: int,
+                     hop: int, alpha: float, window: str, eps: float,
+                     env: SeqParEnv) -> jax.Array:
+    """Sharded SSSLoss (|STFT| L1 + alpha * log2-mag L1) equal to the
+    unsharded value on the global valid prefix."""
+    from ..ops.dsp import get_window_fn
+    valid = env.valid_len or env.t_global
+    w = jnp.asarray(get_window_fn(window)(n_fft), pred.dtype)
+    fp, mask, f_glob = sharded_frames(pred, n_fft, hop, env, valid)
+    ft, _, _ = sharded_frames(target, n_fft, hop, env, valid)
+    sp = jnp.abs(jnp.fft.rfft(fp * w))
+    st = jnp.abs(jnp.fft.rfft(ft * w))
+    lin = jnp.sum(jnp.abs(sp - st) * mask[None, :, None])
+    log = jnp.sum(jnp.abs(jnp.log2(st + eps) - jnp.log2(sp + eps))
+                  * mask[None, :, None])
+    lin = lax.psum(lin, env.time_axis)
+    log = lax.psum(log, env.time_axis)
+    denom = pred.shape[0] * f_glob * (n_fft // 2 + 1)
+    return (lin + alpha * log) / denom
+
+
+# ---------------------------------------------------------------------------
+# (data x time)-mesh training step
+# ---------------------------------------------------------------------------
+
+def make_sharded_train_fn(task, mesh: Mesh, time_axis: str = "time",
+                          data_axis: Optional[str] = "data"
+                          ) -> Callable:
+    """Build a jitted full-model training step over a (data x time) mesh.
+
+    Hybrid partitioning — the TPU-idiomatic split:
+
+    * the frame-rate neural encoder + ctrl transforms + aux losses run in
+      the ordinary jit (GSPMD) region, where XLA auto-partitions dense NN
+      work over the data axis;
+    * the sample-rate decode chain and the MSS loss — where the memory
+      and sequential structure live — run under ``shard_map`` with the
+      time axis sharded and explicit boundary collectives (see module
+      docstring).
+
+    Because the shard_map boundary transposes replicated inputs with a
+    psum, gradients of every parameter come out exactly equal to the
+    single-device step (tests/test_seqpar.py).
+
+    Returns ``fn(params, stats, batch_stats, x, f0, key) ->
+    (loss, grads, metrics, mutated)`` operating on GLOBAL (B, T) arrays.
+    """
+    n_time = mesh.shape[time_axis]
+    n_data = mesh.shape.get(data_axis, 1) if data_axis else 1
+    da = data_axis if (data_axis and n_data > 1) else None
+
+    def step(params, stats, bstats, x, f0, key):
+        t_glob = x.shape[1]
+        b_glob = x.shape[0]
+
+        def decode_body(p, ctrl_p, phase_sig, voicing_sig, x_loc):
+            env = SeqParEnv(time_axis=time_axis, n_time=n_time,
+                            t_global=t_glob, b_global=b_glob,
+                            data_axis=da, n_data=n_data)
+            with activate(env):
+                merged = dict(ctrl_p)
+                merged["phase"] = phase_sig
+                if voicing_sig is not None:
+                    merged["voicing"] = voicing_sig
+                x_hat = task.apply(
+                    {"params": p},
+                    rngs={"noise": key, "dropout": key},
+                    method=lambda m: m.decoder(**merged))
+                t = min(x_hat.shape[1], x_loc.shape[1])
+                mss = task.criterion(x_hat.data[:, :t], x_loc[:, :t])
+            if da:
+                mss = lax.pmean(mss, da)
+            return mss
+
+        def loss_fn(p):
+            variables = {"params": p, "stats": stats,
+                         "batch_stats": bstats}
+            # --- GSPMD region: encoder, phase prep, ctrl transforms ------
+            (dec_params, f0_hat, voicing_logits), mut = task.apply(
+                variables, Sig(x, 1), Sig(f0, 1), True,
+                rngs={"noise": key, "dropout": key},
+                mutable=["stats", "batch_stats"],
+                method=lambda m, *a: m.prepare_training(*a))
+            raw = {k: v for k, v in dec_params.items()
+                   if k.endswith("_params")}
+            other = {k: v for k, v in dec_params.items()
+                     if not k.endswith("_params")}
+            ctrl_params = task.apply(
+                variables, raw, method=lambda m, r: m.decoder.apply_ctrl(r))
+            phase_sig = other.pop("phase")
+            assert phase_sig.hop == 1, (
+                "time sharding expects a sample-rate phase signal")
+            voicing_sig = other.pop("voicing", None)
+            assert not other, f"unexpected decoder inputs: {list(other)}"
+
+            # --- shard_map region: sample-rate decode + sharded MSS ------
+            dspec = P(da) if da else P()
+            xspec = P(da, time_axis)
+            mss = shard_map(
+                decode_body, mesh=mesh,
+                in_specs=(P(), dspec, xspec, dspec, xspec),
+                # check_vma=False: jnp.fft AD mis-types cotangents under
+                # vma tracking (jax 0.9.0); differentiation happens
+                # OUTSIDE this shard_map, so the body is a pure linear
+                # transpose and replication typing is not needed —
+                # P() inputs transpose to psum structurally.
+                out_specs=P(), check_vma=False)(
+                p, ctrl_params, phase_sig, voicing_sig, x)
+
+            aux, metrics = task.aux_losses(
+                f0_hat, voicing_logits, ctrl_params, Sig(f0, 1))
+            loss = mss + aux
+            metrics["loss"] = loss
+            return loss, (metrics, mut)
+
+        (loss, (metrics, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return loss, grads, metrics, mut
+
+    return jax.jit(step)

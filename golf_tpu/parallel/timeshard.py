@@ -25,41 +25,11 @@ from ..ops.allpole import _allpole_blocked, _allpole_impl, _choose_block
 
 
 def _local_summary(x: jax.Array, a: jax.Array, block_size: int):
-    """Affine summary (M, v) of a full local chunk: run the blocked pass A/B
-    and take the composed end-state map."""
-    bsz, t = x.shape
-    p = a.shape[-1]
-    l = min(block_size, t)
-    k = (t + l - 1) // l
-    pad = k * l - t
-    xp = jnp.pad(x, ((0, 0), (0, pad))).reshape(bsz, k, l)
-    ap = jnp.pad(a, ((0, 0), (0, pad), (0, 0))).reshape(bsz, k, l, p)
-
-    eye = jnp.broadcast_to(
-        jnp.concatenate([jnp.eye(p, dtype=x.dtype),
-                         jnp.zeros((p, 1), x.dtype)], axis=1),
-        (bsz, k, p, p + 1))
-
-    def step(w, inp):
-        x_t, a_t = inp
-        r = -jnp.einsum("bkp,bkpq->bkq", a_t, w)
-        r = r.at[..., p].add(x_t)
-        w = jnp.concatenate([r[:, :, None, :], w[:, :, :-1, :]], axis=2)
-        return w, None
-
-    w_end, _ = lax.scan(step, eye,
-                        (jnp.moveaxis(xp, 2, 0), jnp.moveaxis(ap, 2, 0)))
-    m_blk = w_end[..., :p]
-    v_blk = w_end[..., p]
-
-    def combine(e1, e2):
-        m1, v1 = e1
-        m2, v2 = e2
-        return (jnp.einsum("bkij,bkjl->bkil", m2, m1),
-                jnp.einsum("bkij,bkj->bki", m2, v1) + v2)
-
-    m_cum, v_cum = lax.associative_scan(combine, (m_blk, v_blk), axis=1)
-    return m_cum[:, -1], v_cum[:, -1]     # (B, p, p), (B, p)
+    """Affine summary (M, v) of a full local chunk (delegates to
+    ``seqpar._local_affine_summary``, which picks a block length that
+    divides the chunk — zero-padding would corrupt the end-state map)."""
+    from .seqpar import _local_affine_summary
+    return _local_affine_summary(x, a, block_size)
 
 
 def _allpole_timesharded_fwd_impl(x: jax.Array, a: jax.Array, mesh: Mesh,

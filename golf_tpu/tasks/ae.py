@@ -51,13 +51,25 @@ class VoiceAutoEncoder(nn.Module):
     train_with_true_f0: bool = True
     f0_loss_weight: float = 1.0
     voicing_loss_weight: float = 1.0
+    # Sample-wise (GOLF-ss) stabilizer: penalize frame-to-frame jumps of
+    # the LPC coefficients (and log-gain). The reference sidesteps ss
+    # training fragility by training frame-wise then converting
+    # (README.md:92-94); this regularizer makes direct/finetuned ss
+    # training stable without changing the reference loss surface
+    # (weight 0 = reference behavior).
+    coef_smooth_weight: float = 0.0
 
-    def _decode(self, params: Dict[str, Any]) -> Sig:
-        params = self.decoder.apply_ctrl(
+    def _decode(self, params: Dict[str, Any],
+                return_ctrl: bool = False):
+        ctrl_params = self.decoder.apply_ctrl(
             {k: v for k, v in params.items()
-             if k.endswith("_params")}) | {
+             if k.endswith("_params")})
+        merged = ctrl_params | {
             k: v for k, v in params.items() if not k.endswith("_params")}
-        return self.decoder(**params)
+        y = self.decoder(**merged)
+        if return_ctrl:
+            return y, ctrl_params
+        return y
 
     def __call__(self, x: Optional[Sig] = None, f0: Optional[Sig] = None,
                  params: Optional[Dict[str, Any]] = None,
@@ -78,10 +90,14 @@ class VoiceAutoEncoder(nn.Module):
         y = self._decode(params)
         return y, enc_params
 
-    def training_step(self, x: Sig, f0_in_hz: Sig,
-                      train: bool = True) -> Tuple[jax.Array, Dict]:
+    def prepare_training(self, x: Sig, f0_in_hz: Sig, train: bool = True):
+        """Encoder pass + phase/voicing preparation — the frame-rate (NN)
+        half of the training step. Split out so the time-sharded step
+        (``parallel/seqpar.py``) can run it in the GSPMD region while the
+        sample-rate decode below runs under shard_map."""
         params = self.encoder(
-            x, f0=f0_in_hz if self.train_with_true_f0 else None, train=train)
+            x, f0=f0_in_hz if self.train_with_true_f0 else None,
+            train=train)
         f0_hat = params.pop("f0", None)
 
         if self.train_with_true_f0:
@@ -106,18 +122,36 @@ class VoiceAutoEncoder(nn.Module):
             if self.detach_voicing:
                 v = jax.lax.stop_gradient(v)
             params["voicing"] = Sig(v, voicing_logits.hop)
+        return params, f0_hat, voicing_logits
 
-        x_hat = self._decode(params)
-        t = min(x_hat.shape[1], x.shape[1])
-        loss = self.criterion(x_hat.data[:, :t], x.data[:, :t])
-        metrics = {}
+    def aux_losses(self, f0_hat, voicing_logits, ctrl_params,
+                   f0_in_hz: Sig):
+        """f0/voicing aux losses (>50 Hz masking, ``ltng/ae.py:120-140``)
+        + the optional coefficient-smoothness regularizer. Returns
+        (aux_total, metrics)."""
+        aux = 0.0
+        metrics: Dict[str, jax.Array] = {}
+
+        if self.coef_smooth_weight > 0 and \
+                "end_filter_params" in ctrl_params:
+            efp = ctrl_params["end_filter_params"]
+            reg = 0.0
+            for sig in efp:
+                d = sig.data if isinstance(sig, Sig) else sig
+                # coefficient tensors only (B, F, p); the gain (B, F) is
+                # exp-scaled and would dominate the penalty
+                if d.ndim >= 3 and d.shape[1] > 1:
+                    reg = reg + jnp.mean(
+                        jnp.square(jnp.diff(d, axis=1)))
+            aux = aux + self.coef_smooth_weight * reg
+            metrics["coef_smooth"] = reg
 
         if f0_hat is not None:
             target = f0_in_hz.data[:, ::f0_hat.hop][:, : f0_hat.shape[1]]
             pred = f0_hat.data[:, : target.shape[1]]
             mask = (target > 50).astype(pred.dtype)
             f0_loss = f0_log_l1(pred, target, mask)
-            loss = loss + f0_loss * self.f0_loss_weight
+            aux = aux + f0_loss * self.f0_loss_weight
             metrics["f0_loss"] = f0_loss
 
         if voicing_logits is not None:
@@ -125,9 +159,20 @@ class VoiceAutoEncoder(nn.Module):
             vt = vt[:, ::voicing_logits.hop][:, : voicing_logits.shape[1]]
             vl = voicing_logits.data[:, : vt.shape[1]]
             v_loss = bce_with_logits(vl, vt)
-            loss = loss + v_loss * self.voicing_loss_weight
+            aux = aux + v_loss * self.voicing_loss_weight
             metrics["voicing_loss"] = v_loss
+        return aux, metrics
 
+    def training_step(self, x: Sig, f0_in_hz: Sig,
+                      train: bool = True) -> Tuple[jax.Array, Dict]:
+        params, f0_hat, voicing_logits = self.prepare_training(
+            x, f0_in_hz, train)
+        x_hat, ctrl_params = self._decode(params, return_ctrl=True)
+        t = min(x_hat.shape[1], x.shape[1])
+        loss = self.criterion(x_hat.data[:, :t], x.data[:, :t])
+        aux, metrics = self.aux_losses(f0_hat, voicing_logits,
+                                       ctrl_params, f0_in_hz)
+        loss = loss + aux
         metrics["loss"] = loss
         return loss, metrics
 
@@ -240,4 +285,5 @@ def build_voice_autoencoder(model_cfg: Dict) -> VoiceAutoEncoder:
         detach_voicing=model_cfg.get("detach_voicing", False),
         train_with_true_f0=model_cfg.get("train_with_true_f0", True),
         f0_loss_weight=model_cfg.get("f0_loss_weight", 1.0),
-        voicing_loss_weight=model_cfg.get("voicing_loss_weight", 1.0))
+        voicing_loss_weight=model_cfg.get("voicing_loss_weight", 1.0),
+        coef_smooth_weight=model_cfg.get("coef_smooth_weight", 0.0))

@@ -89,6 +89,8 @@ def build_from_config(cfg: Dict):
 
     trainer_kwargs = dict(
         max_steps=trainer_cfg.get("max_steps", 1_000_000),
+        val_every_steps=trainer_cfg.get("check_val_every_n_steps", 5000),
+        restore_params_only=bool(cfg.get("ckpt_params_only", False)),
         lr=opt_init.get("lr", 1e-4),
         grad_clip=trainer_cfg.get("gradient_clip_val", 0.5),
         optimizer=opt_name if opt_name in ("adam", "adamw", "sgd")

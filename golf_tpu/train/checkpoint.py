@@ -68,6 +68,18 @@ class CheckpointManager:
             return None
         return os.path.join(self.dir, self._index[0][1])
 
+    def restore_params_into(self, path: str, state):
+        """Model-variables-only restore (fresh optimizer state and step
+        counter) — the frame-wise->sample-wise finetune path: restore a
+        GOLF-ff checkpoint's params into the converted ss model
+        (reference README.md:92-94 convert2samplewise flow)."""
+        target = self._state_dict(state)
+        restored = self.ckptr.restore(os.path.abspath(path), target)
+        state.params = restored["params"]
+        state.stats = restored["stats"]
+        state.batch_stats = restored["batch_stats"]
+        return state
+
     def restore_into(self, path: str, state):
         """Non-strict restore (reference ``ltng/ae.py:209-210``): template
         comes from the freshly-initialized state."""

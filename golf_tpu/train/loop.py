@@ -12,6 +12,8 @@ from __future__ import annotations
 import json
 import math
 import os
+import queue as queue_mod
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -63,6 +65,32 @@ def make_optimizer(lr: float = 1e-4, grad_clip: float = 0.5,
     return optax.apply_if_finite(opt, max_consecutive_errors=100)
 
 
+def _prefetch(it, stage, depth: int = 2):
+    """Stage batches (host gen + async device_put) in a background thread
+    so host data work and the host->device transfer overlap with the
+    running step — through a remote-relay device the synchronous transfer
+    otherwise serializes ~10 MB per step into the step time."""
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(stage(item))
+        except BaseException as e:  # surface loader errors in the consumer
+            q.put(e)
+        q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class MetricsLogger:
     """JSONL metrics log + stdout; mirrors to W&B when the package and an
     API key are available (reference uses WandbLogger,
@@ -103,7 +131,8 @@ class Trainer:
                  check_finite: bool = True,
                  early_stop_patience: Optional[int] = None,
                  lr_decay: Optional[float] = None,
-                 wandb_project: Optional[str] = None):
+                 wandb_project: Optional[str] = None,
+                 restore_params_only: bool = False):
         self.task = task
         self.run_dir = run_dir
         self.max_steps = max_steps
@@ -111,6 +140,7 @@ class Trainer:
         self.log_every_steps = log_every_steps
         self.seed = seed
         self.check_finite = check_finite
+        self.restore_params_only = restore_params_only
         # EarlyStopping(monitor=train_loss, patience, check_finite) analog
         # (reference cfg/ae/vctk.yaml:19-25); patience counts logged steps.
         self.early_stop_patience = early_stop_patience
@@ -247,20 +277,35 @@ class Trainer:
         if state is None:
             state = self.init_state(first)
             if ckpt_path:
-                state = self.ckpt.restore_into(ckpt_path, state)
+                if self.restore_params_only:
+                    state = self.ckpt.restore_params_into(ckpt_path, state)
+                else:
+                    state = self.ckpt.restore_into(ckpt_path, state)
         step_fn = self._compile()
 
+        data_sh = NamedSharding(self.mesh, P("data"))
+
+        def batches():
+            while True:
+                for b in train_loader:
+                    yield b
+
+        def stage(b):
+            x, f0 = b[:2]
+            return (jax.device_put(np.ascontiguousarray(x), data_sh),
+                    jax.device_put(np.ascontiguousarray(f0), data_sh))
+
+        staged = _prefetch(batches(), stage, depth=2)
+
         rng = jax.random.key(self.seed + 1)
-        batch = first
         t0 = time.time()
         samples = 0
         while state.step < self.max_steps:
+            x, f0 = next(staged)
             rng, sub = jax.random.split(rng)
-            x, f0 = batch[:2]
             (state.params, state.opt_state, state.stats, state.batch_stats,
              metrics) = step_fn(state.params, state.opt_state, state.stats,
-                                state.batch_stats, jnp.asarray(x),
-                                jnp.asarray(f0), sub)
+                                state.batch_stats, x, f0, sub)
             state.step += 1
             samples += x.shape[0] * x.shape[1]
 
@@ -296,12 +341,6 @@ class Trainer:
                     f"{k}={v:.4g}" for k, v in val_metrics.items()),
                     flush=True)
                 self.ckpt.save(state, val_metrics.get("val_loss"))
-
-            try:
-                batch = next(it)
-            except StopIteration:
-                it = iter(train_loader)
-                batch = next(it)
 
         self.ckpt.save_last(state)
         return state
