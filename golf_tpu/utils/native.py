@@ -50,13 +50,26 @@ def has_native() -> bool:
 
 def dio(x: np.ndarray, fs: int, f0_floor: float = 65.0,
         f0_ceil: float = 1047.0, frame_period: float = 5.0,
-        channels_in_octave: float = 2.0) -> Tuple[np.ndarray, np.ndarray]:
-    """f0 estimation; native C++ when built, numpy YIN otherwise."""
-    lib = _load()
+        channels_in_octave: float = 2.0,
+        method: str = "dio") -> Tuple[np.ndarray, np.ndarray]:
+    """f0 estimation.
+
+    method='dio' (default): the full DIO algorithm (multi-band lowpass
+    candidates + stability selection + refinement,
+    ``world_lite.dio``) — the fidelity path matching pyworld's dio.
+    method='yin': the fast C++ YIN kernel (numpy CMND fallback) for bulk
+    data prep.
+    """
     x = np.ascontiguousarray(x, np.float64)
-    if lib is None:
+    if method == "dio":
         return world_lite.dio(x, fs, f0_floor=f0_floor, f0_ceil=f0_ceil,
-                              frame_period=frame_period)
+                              frame_period=frame_period,
+                              channels_in_octave=channels_in_octave)
+    lib = _load()
+    if lib is None:
+        return world_lite.dio_yin(x, fs, f0_floor=f0_floor,
+                                  f0_ceil=f0_ceil,
+                                  frame_period=frame_period)
     hop = int(fs * frame_period / 1000)
     n_frames = len(x) // hop + 1
     out = np.zeros(n_frames, np.float64)

@@ -36,8 +36,10 @@ def process(task):
             "egress). Use --method dio or swipe.")
     else:
         from golf_tpu.utils import native
+        # 'dio' = full multi-band algorithm; 'native' = fast C++ YIN
         f0, _ = native.dio(x.astype(np.float64), sr, f0_floor=floor,
-                           f0_ceil=ceil, frame_period=5.0)
+                           f0_ceil=ceil, frame_period=5.0,
+                           method="yin" if method == "native" else "dio")
     np.savetxt(out_path, f0, fmt="%.3f")
     return str(path)
 
