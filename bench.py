@@ -109,6 +109,13 @@ def main():
     t_k = timed(jit_k, phase, raws) / k_clips
     t_one = timed(jit_one, phase, raw1)
 
+    # relay dispatch floor: the time of a trivial cached executable. The
+    # dev relay's floor is session-bimodal (docs/TPU_NOTES.md) — report
+    # it so the single-dispatch number can be read against it.
+    tiny = jax.jit(lambda a: a + 1.0)
+    t_floor = timed(tiny, jnp.float32(1.0), n=5)
+    t_device = max(t_one - t_floor, 1e-6)
+
     xrt = seconds / t_k
     print(json.dumps({
         "metric": "golf_ss_synthesis_xrt",
@@ -118,7 +125,10 @@ def main():
     }))
     print(f"# device={jax.devices()[0]}; steady-state {t_k*1000:.2f} ms "
           f"per 6 s clip ({t/t_k/1e6:.2f} Msamples/s); single-dispatch "
-          f"latency {t_one*1000:.2f} ms ({seconds/t_one:.1f}x RT)",
+          f"latency {t_one*1000:.2f} ms ({seconds/t_one:.1f}x RT) "
+          f"[relay dispatch floor {t_floor*1000:.2f} ms -> "
+          f"floor-corrected {t_device*1000:.2f} ms = "
+          f"{seconds/t_device:.0f}x RT]",
           file=sys.stderr)
 
 

@@ -192,6 +192,27 @@ class LTVMinimumPhaseFilter(LTVMinimumPhaseFilterPrecise):
         assert ws >= hop * 2, f"{ws} < {hop * 2}"
         padding = ws // 2
 
+        from ..parallel import seqpar
+        env = seqpar.current()
+        if env is not None:
+            assert self.centred, "time-sharded ff filter needs centred"
+            g = seqpar.localize(gain, env, 1)
+            exg_l = ex.data * g.data
+            a_l = seqpar.localize_frames(a, env).data    # (B, F_loc, p)
+            p = a_l.shape[-1]
+
+            def per_frame(frames):
+                b_, f_, w_ = frames.shape
+                out = allpole_const(frames.reshape(-1, w_),
+                                    a_l.reshape(-1, p))
+                return out.reshape(b_, f_, w_)
+
+            win_np = np.asarray(
+                get_window_fn(self.window)(self.window_length))
+            y = seqpar.frame_ola_sharded(per_frame, exg_l, win_np,
+                                         hop, env)
+            return Sig(y, 1)
+
         exg = (ex if self.centred else Sig(ex.data[:, hop // 2:], 1)) * gain
         exp_d = jnp.pad(exg.data, ((0, 0), (padding, padding)))
         unfolded = _unfold(exp_d, ws, hop)            # (B, F, ws)
@@ -436,7 +457,23 @@ class LTVPQMF(LTVFilterInterface):
         return (x,)
 
     def __call__(self, ex: Sig, log_gain: Sig) -> Sig:
+        from ..parallel import seqpar
+        env = seqpar.current()
         gain = Sig(jnp.exp(log_gain.data), log_gain.hop)
+        if env is not None:
+            # halo-exchanged "same" padding for the analysis bank; the
+            # per-band gains localize to this shard's window
+            g = seqpar.localize(gain, env, 1)         # (B, T_loc, bands)
+            taps = self._filters.shape[-1]
+            pad_l = (taps - 1) // 2
+            ext = jnp.concatenate(
+                [seqpar.halo_left(ex.data, pad_l, env), ex.data,
+                 seqpar.halo_right(ex.data, taps - 1 - pad_l, env)], axis=1)
+            bands = jax.lax.conv_general_dilated(
+                ext[:, None, :], jnp.flip(self._filters, -1)[:, None, :],
+                (1,), "VALID", dimension_numbers=("NCH", "OIH", "NCH"))
+            out = jnp.sum(jnp.swapaxes(bands, 1, 2) * g.data, axis=2)
+            return Sig(out, 1)
         bands = pqmf_analysis(ex.data, self._filters)  # (B, bands, T)
         filtered = Sig(jnp.swapaxes(bands, 1, 2), 1) * gain
         return filtered.sum(axis=2)
@@ -537,6 +574,12 @@ class LTVMLSAFilter(LTVFilterInterface):
             h = minimum_phase_response(log_mag)
         else:
             h = jnp.exp(log_mag).astype(jnp.complex64)
+        from ..parallel import seqpar
+        env = seqpar.current()
+        if env is not None:
+            # mc_d already holds this shard's frame rows (see __call__)
+            return seqpar.stft_filter_sharded(
+                x, h, n_fft, hop, self.window, env, onesided=True)
         spec = stft_ops.stft(x, n_fft, hop, window=self.window, center=True)
         f = min(spec.shape[-1], h.shape[1])
         return stft_ops.istft(
@@ -561,13 +604,20 @@ class LTVMLSAFilter(LTVFilterInterface):
 
         b, t = x.shape
         frames = mc_d.shape[1]
+        from ..parallel import seqpar
+        env = seqpar.current()
 
-        def tv_fir(u: jax.Array) -> jax.Array:
-            up = jnp.pad(u, ((0, 0), (k_ord, 0)))
-            fr = _unfold(up, hop + k_ord, hop)        # (B, F', hop+K)
-            seg = _fft_frame_conv(fr[:, :frames], taps, hop,
-                                  correlate=False)
-            return seg.reshape(b, -1)
+        if env is not None:
+            def tv_fir(u: jax.Array) -> jax.Array:
+                return seqpar.fir_frame_conv_sharded(
+                    u, taps, hop, k_ord, False, env)
+        else:
+            def tv_fir(u: jax.Array) -> jax.Array:
+                up = jnp.pad(u, ((0, 0), (k_ord, 0)))
+                fr = _unfold(up, hop + k_ord, hop)    # (B, F', hop+K)
+                seg = _fft_frame_conv(fr[:, :frames], taps, hop,
+                                      correlate=False)
+                return seg.reshape(b, -1)
 
         acc = x
         term = x
@@ -577,12 +627,18 @@ class LTVMLSAFilter(LTVFilterInterface):
         return acc * jnp.repeat(gain, hop, axis=1)[:, :t]
 
     def __call__(self, ex: Sig, mc: Sig, **kwargs) -> Sig:
+        from ..parallel import seqpar
         assert mc.hop == self.frame_period
         hop = self.frame_period
         x = ex.data
-        frames = x.shape[1] // hop
-        x = x[:, : frames * hop]
-        mc_d = mc.data[:, :frames]
+        env = seqpar.current()
+        if env is not None:
+            # x is this shard's window; take the matching ctrl frame rows
+            mc_d = seqpar.localize_frames(mc, env).data
+        else:
+            frames = x.shape[1] // hop
+            x = x[:, : frames * hop]
+            mc_d = mc.data[:, :frames]
         if self.mode == "multi-stage":
             out = self._filter_multi_stage(x, mc_d)
         else:  # 'freq-domain' (and 'single-stage', realized spectrally)
@@ -595,12 +651,18 @@ class LTVMLSAFilter2(LTVMLSAFilter):
     always the spectral realization, whatever ``mode`` says."""
 
     def __call__(self, ex: Sig, mc: Sig, **kwargs) -> Sig:
+        from ..parallel import seqpar
         assert mc.hop == self.frame_period
         hop = self.frame_period
         x = ex.data
-        frames = x.shape[1] // hop
-        x = x[:, : frames * hop]
-        return Sig(self._filter_freq_domain(x, mc.data[:, :frames]), 1)
+        env = seqpar.current()
+        if env is not None:
+            mc_d = seqpar.localize_frames(mc, env).data
+        else:
+            frames = x.shape[1] // hop
+            x = x[:, : frames * hop]
+            mc_d = mc.data[:, :frames]
+        return Sig(self._filter_freq_domain(x, mc_d), 1)
 
 
 class LTVCepFilter(LTVFilterInterface):
@@ -621,9 +683,12 @@ class LTVCepFilter(LTVFilterInterface):
         return (x,)
 
     def __call__(self, ex: Sig, ceps: Sig, **kwargs) -> Sig:
+        from ..parallel import seqpar
         assert ceps.hop == self.hop_length
         n_fft = self.n_fft
-        c = ceps.data
+        env = seqpar.current()
+        c = (seqpar.localize_frames(ceps, env).data
+             if env is not None else ceps.data)
         # pad: zeros to n_fft//2+1 then reflect interior to full n_fft
         c = jnp.pad(
             c, ((0, 0), (0, 0), (0, n_fft // 2 - self.filter_order)))
@@ -635,6 +700,11 @@ class LTVCepFilter(LTVFilterInterface):
         else:
             min_phase = -hilbert(log_mag, axis=-1).imag
             h = jnp.exp(log_mag + 1j * min_phase)
+        if env is not None:
+            y = seqpar.stft_filter_sharded(
+                ex.data, h, n_fft, self.hop_length, self.window, env,
+                onesided=False)
+            return Sig(y, 1)
         h = jnp.swapaxes(h, 1, 2)                     # (B, n_fft, F)
 
         spec = stft_ops.stft(ex.data, n_fft, self.hop_length,
@@ -691,7 +761,17 @@ class DiffWorldSPFilter(LTVFilterInterface):
         return (Sig(jnp.exp(x.data), x.hop),)
 
     def __call__(self, ex: Sig, mel_sp: Sig) -> Sig:
+        from ..parallel import seqpar
         assert mel_sp.hop == self.hop_length
+        env = seqpar.current()
+        if env is not None:
+            assert self.center, "sharded DiffWorldSPFilter needs center"
+            sp_l = seqpar.localize_frames(mel_sp, env).data @ self._fb
+            sp_l = jnp.sqrt(jnp.maximum(sp_l, 0.0))   # (B, F_loc, bins)
+            y = seqpar.stft_filter_sharded(
+                ex.data, sp_l, self.n_fft, self.hop_length, self.window,
+                env, onesided=True)
+            return Sig(y, 1)
         sp = mel_sp.data @ self._fb                   # (B, F, bins)
         sp = jnp.swapaxes(jnp.sqrt(jnp.maximum(sp, 0.0)), 1, 2)
         spec = stft_ops.stft(ex.data, self.n_fft, self.hop_length,

@@ -20,14 +20,18 @@ class BiLSTM(nn.Module):
     hidden_size: int
     num_layers: int = 1
     dropout: float = 0.0
+    # computation dtype (params stay fp32); bf16 feeds the MXU at 2x
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        h = x
+        h = x if self.dtype is None else x.astype(self.dtype)
         for i in range(self.num_layers):
-            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size,
+                                              dtype=self.dtype),
                          name=f"fwd_{i}")
-            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
+            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size,
+                                              dtype=self.dtype),
                          name=f"bwd_{i}", reverse=True,
                          keep_order=True)
             h = jnp.concatenate([fwd(h), bwd(h)], axis=-1)

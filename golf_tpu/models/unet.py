@@ -30,14 +30,18 @@ class ConvPyramid(nn.Module):
 
     channels: Tuple[int, ...] = (16, 32, 64, 128)
     strides: Tuple[int, ...] = (4, 4, 4, 4)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         # x: (B, freq, time, C)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for ch, s in zip(self.channels, self.strides):
             x = nn.Conv(ch, kernel_size=(2 * s + 1, 3),
-                        padding=((s, s), (1, 1)))(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
+                        padding=((s, s), (1, 1)), dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype)(x)
             x = nn.relu(x)
             x = _strided_max(x, s, axis=1)
         return x
@@ -98,6 +102,14 @@ class UNetEncoder(BackboneModelInterface):
     sample_rate: int = 22050
     f0_conditioning: bool = True
     use_lru: bool = False
+    # 'bfloat16' runs the conv pyramid + BiLSTM in bf16 (params and the
+    # DSP-parameter head stay fp32) — the MXU-friendly mixed precision
+    compute_dtype: Optional[str] = None
+
+    @property
+    def _cdtype(self):
+        return jnp.bfloat16 if self.compute_dtype in (
+            "bfloat16", "bf16") else None
 
     @nn.compact
     def __call__(self, x: Sig, f0: Optional[Sig] = None,
@@ -157,22 +169,25 @@ class UNetEncoder(BackboneModelInterface):
         if snr is not None:
             feature = jnp.concatenate([feature, snr], axis=-1)
 
-        h = ConvPyramid(tuple(self.channels), tuple(self.strides))(
-            feature, train)
+        h = ConvPyramid(tuple(self.channels), tuple(self.strides),
+                        dtype=self._cdtype)(feature, train)
         # (B, freq', T, C) -> (B, T, freq'*C)
         b, fr, t, c = h.shape
         h = jnp.swapaxes(h, 1, 2).reshape(b, t, fr * c)
         if self.f0_conditioning and f0 is not None:
             h = h[:, : f0_d.shape[-1]]
-            h = jnp.concatenate([h, jnp.log1p(f0_d)[..., None]], axis=-1)
+            h = jnp.concatenate(
+                [h, jnp.log1p(f0_d)[..., None].astype(h.dtype)], axis=-1)
 
         if self.use_lru:
             h = LRUBlock(h.shape[-1], self.lstm_hidden_size,
-                         self.num_layers, self.dropout)(h, train)
+                         self.num_layers, self.dropout)(
+                h.astype(jnp.float32), train)
         else:
             h = BiLSTM(self.lstm_hidden_size, self.num_layers,
-                       self.dropout)(h, train)
-        h = nn.LayerNorm()(h)
+                       self.dropout, dtype=self._cdtype)(h, train)
+        # back to fp32 for the normalization + DSP-parameter head
+        h = nn.LayerNorm()(h.astype(jnp.float32))
         return Sig(self.out_linear(h, out_channels), self.hop_length)
 
 

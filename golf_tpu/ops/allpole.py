@@ -129,26 +129,75 @@ def _allpole_blocked(x: jax.Array, a: jax.Array, zi: jax.Array,
     return y.reshape(bsz, k * l)[:, :t]
 
 
-def _use_pallas(x: jax.Array) -> bool:
-    """Backend heuristic: the Pallas kernel keeps batch on the 128-wide
+def _dispatch_table():
+    """Measured pallas-vs-blocked dispatch table (written by
+    ``tools/allpole_sweep.py`` on the target chip). Each entry:
+    {"kernel": "tv"|"const", "b": B, "t": T, "p": p,
+     "winner": "pallas"|"blocked"}. ``None`` when no sweep recorded."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "allpole_dispatch.json")
+    try:
+        with open(path) as f:
+            return json.load(f)["entries"]
+    except Exception:
+        return None
+
+
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+_dispatch_table = _lru_cache(maxsize=None)(_dispatch_table)
+
+
+@_lru_cache(maxsize=None)
+def _table_winner(kernel: str, b: int, t: int, p: int) -> Optional[str]:
+    """Nearest measured grid point in log-shape space."""
+    import math
+    tab = _dispatch_table()
+    if not tab:
+        return None
+    best, best_d = None, None
+    for e in tab:
+        if e["kernel"] != kernel:
+            continue
+        d = (abs(math.log(max(b, 1)) - math.log(max(e["b"], 1))) +
+             abs(math.log(max(t, 1)) - math.log(max(e["t"], 1))) +
+             abs(math.log(max(p, 1)) - math.log(max(e["p"], 1))))
+        if best_d is None or d < best_d:
+            best, best_d = e["winner"], d
+    return best
+
+
+def _use_pallas(x: jax.Array, p: int = 22, kernel: str = "tv") -> bool:
+    """Backend dispatch: measured table when a sweep has been recorded on
+    this image (``tools/allpole_sweep.py`` -> ``allpole_dispatch.json``),
+    else the heuristic — the Pallas kernel keeps batch on the 128-wide
     lane axis, so it wins once the batch fills lanes (training shapes);
     the blocked formulation wins at small batch (inference) where its
     block-parallelism is the only parallel axis. Measured on v5e at
     B=64/T=48k/p=22: pallas 28.5 ms vs blocked 46.4 ms; at B=1 blocked
     is ~0.05 ms vs a lane-starved sequential kernel."""
+    import os
+    if os.environ.get("GOLF_TPU_NO_PALLAS"):
+        return False
     try:
         import jax as _jax
         on_tpu = _jax.default_backend() not in ("cpu",)
     except Exception:
         on_tpu = False
-    return on_tpu and x.shape[0] >= 32
+    if not on_tpu:
+        return False
+    w = _table_winner(kernel, int(x.shape[0]), int(x.shape[1]), int(p))
+    if w is not None:
+        return w == "pallas"
+    return x.shape[0] >= (256 if kernel == "const" else 32)
 
 
 def _allpole_impl(x: jax.Array, a: jax.Array, zi: jax.Array,
                   block_size: Optional[int],
                   allow_pallas: bool = False) -> jax.Array:
     t = x.shape[1]
-    if allow_pallas and _use_pallas(x):
+    if allow_pallas and _use_pallas(x, a.shape[-1], "tv"):
         from .allpole_pallas import allpole_pallas
         return allpole_pallas(x, a)
     if block_size is None:
@@ -231,7 +280,7 @@ def _allpole_const_impl(x: jax.Array, a: jax.Array) -> jax.Array:
     """x: (N, T), a: (N, p) constant per sequence."""
     n, t = x.shape
     p = a.shape[-1]
-    if _use_pallas(x) and n >= 256:
+    if _use_pallas(x, p, "const"):
         from .allpole_pallas import allpole_const_pallas
         return allpole_const_pallas(x, a)
 

@@ -67,10 +67,32 @@ def freqt(c: jax.Array, out_order: int, alpha: float) -> jax.Array:
 # Mel-cepstral analysis
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=None)
+def _warped_cos_basis(n_bins: int, cep_order: int,
+                      alpha: float) -> np.ndarray:
+    """phi_m(w) = cos(m * beta(w)) on the half-spectrum grid, where
+    beta is the first-order all-pass warped frequency. The mel
+    log-spectrum model is LINEAR in the mel-cepstrum: S(w) = sum_m c_m
+    phi_m(w). Returns (n_bins, cep_order+1)."""
+    w = np.linspace(0.0, np.pi, n_bins)
+    beta = w + 2.0 * np.arctan2(alpha * np.sin(w),
+                                1.0 - alpha * np.cos(w))
+    m = np.arange(cep_order + 1)
+    return np.cos(beta[:, None] * m[None, :])
+
+
 def mcep(amp_spec: jax.Array, cep_order: int, alpha: float = 0.0,
-         eps: float = 1e-8) -> jax.Array:
+         eps: float = 1e-8, n_iter: int = 0) -> jax.Array:
     """Amplitude-spectrum frames (..., n_fft//2+1) -> mel-cepstrum
-    (..., cep_order+1). SPTK n_iter=0 estimate: warped real cepstrum."""
+    (..., cep_order+1).
+
+    n_iter=0: the SPTK initial estimate (warped real cepstrum).
+    n_iter>0: Newton iterations on the mel log-spectral-approximation
+    criterion E = mean[exp(R) - R - 1], R = 2(log|X| - S(c)) — the
+    criterion SPTK's mcep minimizes — so converged values are comparable
+    to diffsptk/SPTK's iterative solution (``ltng/ae.py:214-217`` uses
+    diffsptk MelCepstralAnalysis for the MCD metric).
+    """
     n_bins = amp_spec.shape[-1]
     n_fft = 2 * (n_bins - 1)
     log_mag = jnp.log(jnp.maximum(amp_spec, eps))
@@ -82,7 +104,27 @@ def mcep(amp_spec: jax.Array, cep_order: int, alpha: float = 0.0,
     # log|X(w)| = c[0] + 2*sum_{1<=m<half} c[m] cos(wm) + c[half] cos(w*half)
     c0 = c[..., :half + 1]
     c0 = c0.at[..., 1:half].multiply(2.0)
-    return freqt(c0, cep_order, alpha)
+    mc = freqt(c0, cep_order, alpha)
+    if n_iter <= 0:
+        return mc
+
+    phi = jnp.asarray(_warped_cos_basis(n_bins, cep_order, float(alpha)),
+                      log_mag.dtype)                      # (bins, M+1)
+    # trapezoid quadrature weights over the half spectrum
+    qw = jnp.ones(n_bins, log_mag.dtype).at[0].set(0.5).at[-1].set(0.5)
+    for _ in range(n_iter):
+        s = jnp.einsum("...m,bm->...b", mc, phi)
+        r = jnp.clip(2.0 * (log_mag - s), -30.0, 30.0)
+        er = jnp.exp(r)
+        grad = -2.0 * jnp.einsum("...b,b,bm->...m", er - 1.0, qw, phi)
+        hess = 4.0 * jnp.einsum("...b,b,bm,bn->...mn", er, qw, phi, phi)
+        # Levenberg damping keeps early steps stable far from optimum
+        hess = hess + 1e-4 * jnp.trace(
+            hess, axis1=-2, axis2=-1)[..., None, None] \
+            * jnp.eye(cep_order + 1, dtype=hess.dtype)
+        step = jnp.linalg.solve(hess, grad[..., None])[..., 0]
+        mc = mc - step
+    return mc
 
 
 def mc2sp_log(mc: jax.Array, n_fft: int, alpha: float = 0.0,

@@ -463,6 +463,137 @@ def decimate_sharded(x: jax.Array, q: int, env: SeqParEnv,
     return conv[..., 2 * half: 2 * half + tl: q]
 
 
+def frame_ola_sharded(frames_fn, exg: jax.Array, window: np.ndarray,
+                      hop: int, env: SeqParEnv) -> jax.Array:
+    """Frame-process + windowed overlap-add of a time-sharded signal
+    (the GOLF-ff LTVMinimumPhaseFilter realization, reference
+    ``models/filters.py:140-184``).
+
+    Frames (length W = len(window), stride hop, global zero-pad W/2) are
+    owned by the shard containing their hop-start; each shard processes
+    its F_loc = T_loc/hop frames via ``frames_fn((B, F_loc, W)) ->
+    (B, F_loc, W)``, overlap-adds into a locally-extended buffer, and
+    exchanges the spilled W/2 edges with its neighbors. The global
+    windowed-ones normalization is a static vector sliced per shard.
+    Output is (B, T_loc); the global tail past ``T - hop`` does not exist
+    in the unsharded result and is excluded via ``env.valid_len``.
+    """
+    b, tl = exg.shape
+    w = window.shape[0]
+    pad = w // 2
+    assert tl % hop == 0 and w % hop == 0 and pad <= tl, (tl, hop, w)
+    f_loc = tl // hop
+    window = np.asarray(window, np.float64)   # concrete: norm needs it
+    win_j = jnp.asarray(window, exg.dtype)
+    ext = jnp.concatenate(
+        [halo_left(exg, pad, env), exg, halo_right(exg, pad, env)], axis=1)
+    from ..models.filters import _unfold
+    frames = _unfold(ext, w, hop)[:, :f_loc]
+    filtered = frames_fn(frames) * win_j
+
+    # local OLA into [k*T_loc - pad, (k+1)*T_loc + pad): strip j of every
+    # frame lands on one contiguous stride-hop run
+    buf = jnp.zeros((b, tl + 2 * pad), exg.dtype)
+    for j in range(w // hop):
+        strip = filtered[:, :, j * hop:(j + 1) * hop].reshape(b, tl)
+        buf = buf.at[:, j * hop: j * hop + tl].add(strip)
+    # exchange spilled edges: my left spill belongs to the left
+    # neighbor's window and vice versa
+    left_spill = buf[:, :pad]                # covers [k*tl - pad, k*tl)
+    right_spill = buf[:, -pad:]              # covers [(k+1)*tl, +pad)
+    from_left = halo_left(right_spill, pad, env)   # their right spill
+    from_right = halo_right(left_spill, pad, env)  # their left spill
+    y = buf[:, pad:-pad]
+    y = y.at[:, :pad].add(from_left)
+    y = y.at[:, -pad:].add(from_right)
+
+    # static global normalization (windowed-ones OLA over all frames)
+    f_glob = env.n_time * f_loc
+    norm = np.zeros(env.t_global + 2 * pad)
+    for i in range(f_glob):
+        norm[i * hop: i * hop + w] += window
+    norm = np.maximum(norm[pad:pad + env.t_global], 1e-9)
+    norm_j = jnp.asarray(norm, exg.dtype)
+    seg = lax.dynamic_slice_in_dim(norm_j, tidx(env) * tl, tl)
+    env.shrink_valid((f_glob - 1) * hop)
+    return y / seg[None, :]
+
+
+def stft_filter_sharded(x: jax.Array, h_local: jax.Array, n_fft: int,
+                        hop: int, window: str, env: SeqParEnv,
+                        onesided: bool = True) -> jax.Array:
+    """STFT-domain LTV filtering of a time-sharded signal: analysis
+    window -> FFT -> per-frame transfer multiply -> IFFT -> synthesis
+    window -> OLA with window^2 normalization (``ops/stft.py`` stft/istft
+    semantics, torch-compatible reflect center padding). This is the
+    realization behind the MLSA / NHV-cepstral / ∇WORLD filter variants
+    (reference ``models/filters.py:529-760``).
+
+    Frame f (global, hop-start f*hop, reflect-padded coords) is owned by
+    shard ``f // F_loc``; ``h_local`` is (B, F_loc, bins) — this shard's
+    transfer rows (real or complex; bins = n_fft//2+1 if onesided else
+    n_fft). Matches the unsharded path, which uses exactly F = T/hop
+    frames (``min(spec_frames, ctrl_frames)``) and whose istft output has
+    global length T - hop: the invalid tail is excluded via
+    ``env.valid_len``. Output (B, T_loc).
+    """
+    from ..ops.dsp import get_window_fn
+    b, tl = x.shape
+    pad = n_fft // 2
+    assert tl % hop == 0 and pad <= tl - 2, (tl, hop, n_fft)
+    f_loc = tl // hop
+    k = tidx(env)
+    is_last = k == env.n_time - 1
+
+    win_np = np.asarray(get_window_fn(window)(n_fft), np.float64)
+    win = jnp.asarray(win_np, x.dtype)
+
+    # local buffer of reflect-padded global coords [k*tl, k*tl + tl + 2p):
+    # interior shards exchange halos; the global edges reflect own samples
+    # (padded[j] = x[pad - j], padded[T + pad + j] = x[T - 2 - j]).
+    left = jnp.where(k == 0, x[:, 1:pad + 1][:, ::-1],
+                     halo_left(x, pad, env))
+    right = jnp.where(is_last, x[:, tl - 2: tl - 2 - pad: -1],
+                      halo_right(x, pad, env))
+    ext = jnp.concatenate([left, x, right], axis=1)
+
+    from ..models.filters import _unfold
+    frames = _unfold(ext, n_fft, hop)[:, :f_loc] * win
+    if onesided:
+        spec = jnp.fft.rfft(frames)
+        out_f = jnp.fft.irfft(spec * h_local[:, :f_loc], n_fft)
+    else:
+        spec = jnp.fft.fft(frames)
+        out_f = jnp.fft.ifft(spec * h_local[:, :f_loc]).real
+    out_f = out_f.astype(x.dtype) * win
+
+    # scatter-OLA into [k*tl - pad, (k+1)*tl + pad) then exchange the
+    # spilled pad-sample edges with the neighbors (frame_ola_sharded
+    # pattern, but hop need not divide n_fft)
+    buf = jnp.zeros((b, tl + 2 * pad), x.dtype)
+    idx = (jnp.arange(f_loc)[:, None] * hop
+           + jnp.arange(n_fft)[None, :]).reshape(-1)
+    buf = buf.at[:, idx].add(out_f.reshape(b, -1))
+    from_left = halo_left(buf[:, -pad:], pad, env)
+    from_right = halo_right(buf[:, :pad], pad, env)
+    y = buf[:, pad:-pad]
+    y = y.at[:, :pad].add(from_left)
+    y = y.at[:, -pad:].add(from_right)
+
+    # static window^2 normalization over all F = n*F_loc global frames,
+    # in padded coords, trimmed to the unpadded window (istft semantics)
+    f_glob = env.n_time * f_loc
+    wsq = np.zeros(env.t_global + 2 * pad)
+    for i in range(f_glob):
+        wsq[i * hop: i * hop + n_fft] += win_np * win_np
+    wsq = np.maximum(wsq[pad:pad + env.t_global], 1e-11)
+    seg = lax.dynamic_slice_in_dim(
+        jnp.asarray(wsq, x.dtype), k * tl, tl)
+    # istft(out_len = n_fft + hop*(F-1), center-trim) -> global T - hop
+    env.shrink_valid(env.t_global - hop)
+    return y / seg[None, :]
+
+
 # ---------------------------------------------------------------------------
 # sharded STFT magnitude-loss terms
 # ---------------------------------------------------------------------------

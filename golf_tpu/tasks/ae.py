@@ -221,7 +221,9 @@ class VoiceAutoEncoder(nn.Module):
         def mceps(sig):
             amp = spectrogram(sig, 512, hop, win_length=512,
                               window="hanning", power=1.0, center=True)
-            return mcep(jnp.swapaxes(amp, 1, 2), 34, alpha=0.46)
+            # n_iter=2: converged mel-cepstra (diffsptk-comparable
+            # absolute MCD, not just the n_iter=0 relative estimate)
+            return mcep(jnp.swapaxes(amp, 1, 2), 34, alpha=0.46, n_iter=2)
 
         mc_x = mceps(x.data[:, :t])
         mc_y = mceps(x_hat.data[:, :t])

@@ -123,6 +123,39 @@ def test_seqpar_training_step_matches_single_device(oversampling):
                                    rtol=5e-3, atol=5e-4)
 
 
+def test_seqpar_golf_ff_ola_matches():
+    """Frame-wise (GOLF-ff) end filter: per-frame constant-coefficient
+    LPC + windowed OLA with spilled-edge halo exchange, parity vs the
+    single-device step."""
+    mesh = make_mesh(data=1, time=8)
+    cfg = _tiny_golf_cfg(1)
+    cfg["decoder"]["init_args"]["end_filter"] = {
+        "class_path": "models.filters.LTVMinimumPhaseFilter",
+        "init_args": {"lpc_order": 8, "lpc_parameterisation": "rc2lpc",
+                      "window": "hanning", "window_length": 960,
+                      "centred": True}}
+    task = build_voice_autoencoder(cfg)
+    b, t = 2, 8 * 2400
+    x, f0 = _make_inputs(b, t, seed=5)
+    variables = _init_task(task, x, f0)
+    key = jax.random.key(11)
+
+    (loss_ref, _), grads_ref = _unsharded_step(task, variables, x, f0, key)
+    step = seqpar.make_sharded_train_fn(task, mesh)
+    loss_s, grads_s, _, _ = step(
+        variables["params"], variables.get("stats", {}),
+        variables.get("batch_stats", {}), x, f0, key)
+    np.testing.assert_allclose(float(loss_s), float(loss_ref),
+                               rtol=3e-4, atol=3e-5)
+    flat_r, _ = jax.tree_util.tree_flatten(grads_ref)
+    flat_s, _ = jax.tree_util.tree_flatten(grads_s)
+    for gr, gs in zip(flat_r, flat_s):
+        gr, gs = np.asarray(gr), np.asarray(gs)
+        scale = np.abs(gr).max() + 1e-6
+        np.testing.assert_allclose(gs / scale, gr / scale,
+                                   rtol=5e-3, atol=5e-4)
+
+
 def test_seqpar_2d_mesh_runs():
     """(data=2) x (time=4) mesh: full training step executes with finite
     loss/grads (batch-norm batch statistics are per-data-shard, like the
@@ -140,6 +173,34 @@ def test_seqpar_2d_mesh_runs():
     assert np.isfinite(float(loss))
     for g in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_sharded_minphase_fir_matches():
+    """LTVMinimumPhaseFIRFilter (golf-v1 harm filter): causal frame FIR
+    with left-halo exchange == unsharded module output."""
+    from golf_tpu.models.filters import LTVMinimumPhaseFIRFilter
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(data=1, time=8)
+    rng = np.random.default_rng(2)
+    b, hop, f_glob = 2, 240, 8 * 4
+    t = hop * f_glob
+    x = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+    log_mag = jnp.asarray(
+        rng.standard_normal((b, f_glob, 17)).astype(np.float32) * 0.3 - 1)
+    mod = LTVMinimumPhaseFIRFilter(window="hanning", n_mag=17)
+    y_ref = mod.apply({}, Sig(x, 1), Sig(log_mag, hop)).data
+
+    def body(x_loc):
+        env = seqpar.SeqParEnv("time", 8, t, b, None, 1)
+        with seqpar.activate(env):
+            return mod.apply({}, Sig(x_loc, 1), Sig(log_mag, hop)).data
+
+    y_s = shard_map(body, mesh=mesh, in_specs=(P(None, "time"),),
+                    out_specs=P(None, "time"), check_vma=False)(x)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_sharded_sss_loss_matches():
@@ -224,3 +285,64 @@ def test_allpole_sharded_order22_long():
     assert np.abs(np.asarray(gx_s) - np.asarray(gx_r)).max() / gs < 2e-3
     gas = np.abs(np.asarray(ga_r)).max() + 1e-9
     assert np.abs(np.asarray(ga_s) - np.asarray(ga_r)).max() / gas < 2e-3
+
+
+@pytest.mark.parametrize("case", [
+    "mlsa_min", "mlsa_taylor", "cep_zero", "cep_min", "world_sp", "pqmf"])
+def test_sharded_stft_filters_match(case):
+    """STFT-domain LTV filters (MLSA freq-domain + time-domain Taylor,
+    NHV cepstral, ∇WORLD spectral envelope) under time sharding ==
+    unsharded module output on the valid prefix (reference filter
+    variants, ``models/filters.py:529-760``)."""
+    from golf_tpu.models.filters import (
+        LTVMLSAFilter, LTVCepFilter, DiffWorldSPFilter)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(data=1, time=8)
+    rng = np.random.default_rng(3)
+    b, hop = 2, 240
+    tl = 8 * hop
+    t = 8 * tl
+    f_glob = t // hop
+    x = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+
+    if case == "mlsa_min":
+        mod = LTVMLSAFilter(filter_order=24, frame_period=hop,
+                            fft_length=1024, phase="minimum")
+        ctrl = rng.standard_normal((b, f_glob, 25)).astype(np.float32) * 0.3
+    elif case == "mlsa_taylor":
+        mod = LTVMLSAFilter(filter_order=24, frame_period=hop,
+                            mode="multi-stage", cep_order=64,
+                            taylor_order=6)
+        ctrl = rng.standard_normal((b, f_glob, 25)).astype(np.float32) * 0.2
+    elif case in ("cep_zero", "cep_min"):
+        mod = LTVCepFilter(filter_order=120, n_fft=1024, hop_length=hop,
+                           phase=("zero" if case == "cep_zero"
+                                  else "minimum"))
+        ctrl = rng.standard_normal(
+            (b, f_glob, 121)).astype(np.float32) * 0.1
+    elif case == "world_sp":
+        mod = DiffWorldSPFilter(n_mels=40, n_fft=1024, hop_length=hop)
+        ctrl = np.abs(
+            rng.standard_normal((b, f_glob, 40))).astype(np.float32) + 0.1
+    else:
+        from golf_tpu.models.filters import LTVPQMF
+        mod = LTVPQMF(n_mag=8, filter_order=63)
+        ctrl = rng.standard_normal((b, f_glob, 8)).astype(np.float32) * 0.3
+    ctrl = jnp.asarray(ctrl)
+
+    y_ref = mod.apply({}, Sig(x, 1), Sig(ctrl, hop)).data
+
+    def body(x_loc):
+        env = seqpar.SeqParEnv("time", 8, t, b, None, 1)
+        with seqpar.activate(env):
+            return mod.apply({}, Sig(x_loc, 1), Sig(ctrl, hop)).data
+
+    y_s = shard_map(body, mesh=mesh, in_specs=(P(None, "time"),),
+                    out_specs=P(None, "time"), check_vma=False)(x)
+    n = min(y_ref.shape[1], t - hop)
+    ref, got = np.asarray(y_ref)[:, :n], np.asarray(y_s)[:, :n]
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(got / scale, ref / scale,
+                               rtol=2e-4, atol=2e-5)

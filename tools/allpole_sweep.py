@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""All-pole backend sweep: measure pallas vs blocked across (B, T, p)
+shapes on the real chip and record the winner table that
+``ops/allpole._use_pallas`` consults (round-1 VERDICT weak #7: the
+dispatch heuristic was measured at one shape).
+
+Writes golf_tpu/ops/allpole_dispatch.json:
+  {"device": "...", "entries": [{"kernel": "tv"|"const",
+    "b": B, "t": T, "p": p, "pallas_ms": x, "blocked_ms": y,
+    "winner": "pallas"|"blocked"}, ...]}
+
+Usage: python tools/allpole_sweep.py [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from golf_tpu.utils.axon_boot import ensure_fixed_session
+
+ensure_fixed_session("golf-tpu-bench")
+
+
+def timed(fn, *args, n=5):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return sum(ts[1:-1]) / max(len(ts) - 2, 1) if len(ts) > 2 else min(ts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "golf_tpu", "ops", "allpole_dispatch.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    from golf_tpu.ops.allpole import _allpole_blocked, _choose_block
+    from golf_tpu.ops.allpole_pallas import (
+        allpole_pallas, allpole_const_pallas)
+
+    rng = np.random.default_rng(0)
+    dev = str(jax.devices()[0])
+    entries = []
+
+    # time-varying kernel: serving/training shapes
+    if args.quick:
+        tv_grid = [(1, 144000, 22), (32, 48000, 22), (64, 48000, 22)]
+    else:
+        tv_grid = [(b, t, p)
+                   for b in (1, 4, 16, 32, 64, 128)
+                   for t in (12000, 48000, 144000)
+                   for p in (10, 22)]
+
+    for b, t, p in tv_grid:
+        x = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+        a = jnp.asarray(
+            (rng.standard_normal((b, t, p)) * 0.02).astype(np.float32))
+        zi = jnp.zeros((b, p), jnp.float32)
+        bs = _choose_block(t)
+        f_blk = jax.jit(lambda x, a, zi: _allpole_blocked(x, a, zi, bs))
+        f_pal = jax.jit(allpole_pallas)
+        try:
+            t_pal = timed(f_pal, x, a) * 1e3
+        except Exception as e:
+            print(f"# pallas failed at {(b, t, p)}: {e}", file=sys.stderr)
+            t_pal = float("inf")
+        t_blk = timed(f_blk, x, a, zi) * 1e3
+        win = "pallas" if t_pal < t_blk else "blocked"
+        entries.append({"kernel": "tv", "b": b, "t": t, "p": p,
+                        "pallas_ms": round(t_pal, 4),
+                        "blocked_ms": round(t_blk, 4), "winner": win})
+        print(f"tv  B={b:4d} T={t:6d} p={p:2d}  pallas {t_pal:9.3f} ms  "
+              f"blocked {t_blk:9.3f} ms  -> {win}", flush=True)
+
+    # constant-coefficient kernel: frame-path shapes (N = B*frames)
+    if args.quick:
+        const_grid = [(64, 960, 22), (1024, 960, 22)]
+    else:
+        const_grid = [(n, w, p)
+                      for n in (64, 256, 1024, 4096)
+                      for w in (240, 960)
+                      for p in (10, 22)]
+
+    def const_scan(x, a):
+        from jax import lax
+        n, p = a.shape
+
+        def step(s, x_t):
+            y_t = x_t - jnp.sum(a * s, axis=-1)
+            s = jnp.concatenate([y_t[:, None], s[:, :-1]], axis=1)
+            return s, y_t
+
+        _, y = lax.scan(step, jnp.zeros((n, p), x.dtype),
+                        jnp.moveaxis(x, 1, 0))
+        return jnp.moveaxis(y, 0, 1)
+
+    for n, w, p in const_grid:
+        x = jnp.asarray(rng.standard_normal((n, w)).astype(np.float32))
+        a = jnp.asarray(
+            (rng.standard_normal((n, p)) * 0.02).astype(np.float32))
+        try:
+            t_pal = timed(jax.jit(allpole_const_pallas), x, a) * 1e3
+        except Exception as e:
+            print(f"# const pallas failed at {(n, w, p)}: {e}",
+                  file=sys.stderr)
+            t_pal = float("inf")
+        t_blk = timed(jax.jit(const_scan), x, a) * 1e3
+        win = "pallas" if t_pal < t_blk else "blocked"
+        entries.append({"kernel": "const", "b": n, "t": w, "p": p,
+                        "pallas_ms": round(t_pal, 4),
+                        "blocked_ms": round(t_blk, 4), "winner": win})
+        print(f"cst N={n:4d} W={w:6d} p={p:2d}  pallas {t_pal:9.3f} ms  "
+              f"scan    {t_blk:9.3f} ms  -> {win}", flush=True)
+
+    out = os.path.abspath(args.out)
+    with open(out, "w") as f:
+        json.dump({"device": dev, "entries": entries}, f, indent=1)
+    print(f"# wrote {out} ({len(entries)} entries)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
