@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.sig import Sig, sig_where
+from ..ops.dsp import wrapped_cumsum
 from ..ops.lf import build_glottal_table
 from ..ops.resample import decimate, sinc_kernel
 from .ctrl import Controllable
@@ -161,10 +162,9 @@ class IndexedGlottalFlowTable(GlottalFlowTable):
             interp = Sig(interp.data, interp.hop * k)
             phase = Sig(phase.data / k, phase.hop * k)
         up_phase = phase.reduce_hop_length()
-        instant = jnp.cumsum(up_phase.data.astype(jnp.float32), axis=1)
+        wrapped = wrapped_cumsum(up_phase.data.astype(jnp.float32))
         if phase_offset is not None:
-            instant = instant + phase_offset.data
-        wrapped = instant % 1
+            wrapped = (wrapped + phase_offset.data) % 1
         y = self.generate(Sig(wrapped, 1), interp)
         if self.equal_energy:
             y = Sig(y.data * jax.lax.rsqrt(up_phase.data), 1)
@@ -186,8 +186,7 @@ class IndexedGlottalFlowTable(GlottalFlowTable):
             ph = seqpar.upsample_local(phase.data / k, k, env)
         else:
             ph = phase.data
-        instant = seqpar.global_cumsum(ph.astype(jnp.float32), env)
-        wrapped = instant % 1
+        wrapped = seqpar.global_wrapped_cumsum(ph.astype(jnp.float32), env)
         hop_os = interp.hop * k
         t_os_loc = ph.shape[1]
         assert t_os_loc % hop_os == 0, (t_os_loc, hop_os)
@@ -222,10 +221,10 @@ class WeightedGlottalFlowTable(GlottalFlowTable):
         weighted = Sig(table_select_weight.data @ self.table,
                        table_select_weight.hop)
         up_phase = phase.reduce_hop_length()
-        instant = jnp.cumsum(up_phase.data.astype(jnp.float32), axis=1)
+        wrapped = wrapped_cumsum(up_phase.data.astype(jnp.float32))
         if phase_offset is not None:
-            instant = instant + phase_offset.data
-        return self.generate(Sig(instant % 1, 1), weighted)
+            wrapped = (wrapped + phase_offset.data) % 1
+        return self.generate(Sig(wrapped, 1), weighted)
 
 
 class Downsampler(nn.Module):
@@ -318,14 +317,15 @@ class HarmonicOscillator(OscillatorInterface):
             assert initial_phase is None and phase_offset is None
             assert phase.hop == 1
             up_phase = phase
-            base = seqpar.global_cumsum(
+            base = seqpar.global_wrapped_cumsum(
                 up_phase.data.astype(jnp.float32), env)
             amplitudes = seqpar.localize(amplitudes, env, 1) \
                 if amplitudes.hop > 1 else amplitudes
         else:
             up_phase = phase.reduce_hop_length()      # (B, T) hop 1
-            # one fp32 cumsum; per-harmonic phase = k * cumsum(phase)
-            base = jnp.cumsum(up_phase.data.astype(jnp.float32), axis=1)
+            # one WRAPPED fp32 cumsum; per-harmonic phase = k * base is
+            # exact mod 1 for integer k: sin(2*pi*k*(c%1)) == sin(2*pi*k*c)
+            base = wrapped_cumsum(up_phase.data.astype(jnp.float32))
         inst = base[..., None] * harm_series          # (B, T, n)
         if phase_offset is not None:
             inst = inst + phase_offset.data[..., None] * harm_series
@@ -413,8 +413,8 @@ class PulseTrain(OscillatorInterface):
         if env is not None:
             assert phase_offset is None and phase.hop == 1
             up = phase.data
-            instant = seqpar.global_cumsum(up.astype(jnp.float32), env)
-            wrapped = instant % 1
+            wrapped = seqpar.global_wrapped_cumsum(
+                up.astype(jnp.float32), env)
             prev = jnp.concatenate(
                 [seqpar.halo_left(wrapped, 1, env), wrapped[:, :-1]],
                 axis=1)
@@ -423,10 +423,9 @@ class PulseTrain(OscillatorInterface):
             transition = (wrapped - prev) < 0
             return Sig(jnp.where(transition, jax.lax.rsqrt(up), 0.0), 1)
         up = phase.reduce_hop_length().data
-        instant = jnp.cumsum(up.astype(jnp.float32), axis=1)
+        wrapped = wrapped_cumsum(up.astype(jnp.float32))
         if phase_offset is not None:
-            instant = instant + phase_offset.data
-        wrapped = instant % 1
+            wrapped = (wrapped + phase_offset.data) % 1
         transition = (wrapped[:, 1:] - wrapped[:, :-1]) < 0
         out = jnp.zeros_like(up)
         out = out.at[:, 1:].set(

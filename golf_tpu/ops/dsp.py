@@ -19,6 +19,44 @@ from scipy.signal import get_window as _scipy_get_window
 
 
 # ---------------------------------------------------------------------------
+# Wrapped (mod-1) phase integration
+# ---------------------------------------------------------------------------
+
+PHASE_BLOCK = 240
+
+
+def wrapped_cumsum(x: jax.Array, block: int = PHASE_BLOCK) -> jax.Array:
+    """Inclusive cumsum of ``x`` along time (dim 1), reduced mod 1, with
+    bounded rounding error independent of the signal length.
+
+    A plain ``cumsum(x) % 1`` accumulates an unwrapped fp32 phase whose
+    magnitude grows without bound, so the wrapped result carries
+    ``ulp(cumsum[-1])`` of error — at minutes-scale T the per-sample phase
+    error reaches audible levels once scaled by a harmonic index. Here the
+    accumulation wraps as it goes: per-block local cumsums (magnitude
+    <= block/2 cycles) plus a mod-1 associative scan over the wrapped block
+    totals (all intermediates in [0, 2)), so the error stays
+    ~ulp(block/2) + depth*ulp(2) for any T.
+
+    The mod-1 reduction is exact for every integer-harmonic consumer:
+    ``sin(2*pi*k*(c % 1)) == sin(2*pi*k*c)`` and wavetable lookups index by
+    ``c % 1``. ``seqpar.global_wrapped_cumsum`` reproduces this function's
+    exact fp behavior on a time-sharded array when the shard length is a
+    multiple of ``block``.
+    """
+    b, t = x.shape
+    nb = -(-t // block)
+    xp = jnp.pad(x, ((0, 0), (0, nb * block - t)))
+    local = jnp.cumsum(xp.reshape(b, nb, block), axis=-1)
+    totals = local[..., -1] % 1
+    off = jax.lax.associative_scan(lambda u, v: (u + v) % 1, totals, axis=1)
+    off_excl = jnp.concatenate(
+        [jnp.zeros_like(off[:, :1]), off[:, :-1]], axis=1)
+    out = (local % 1 + off_excl[..., None]) % 1
+    return out.reshape(b, nb * block)[:, :t]
+
+
+# ---------------------------------------------------------------------------
 # Windows (reference ``models/utils.py:417-430``)
 # ---------------------------------------------------------------------------
 

@@ -136,6 +136,40 @@ def global_cumsum(x: jax.Array, env: SeqParEnv) -> jax.Array:
     return loc + offset[:, None]
 
 
+def global_wrapped_cumsum(x: jax.Array, env: SeqParEnv,
+                          block: Optional[int] = None) -> jax.Array:
+    """Global-time inclusive cumsum mod 1 of a time-sharded (B, T_loc)
+    array, bit-matching ``ops.dsp.wrapped_cumsum`` on the gathered signal.
+
+    Same blocked algorithm: per-block local cumsums are computed shard-
+    locally (identical values in identical order), the wrapped block
+    totals are all-gathered (nb_glob scalars per row — tiny), and EVERY
+    shard runs the identical global mod-1 associative scan over them, so
+    the block offsets — and hence the outputs — round exactly like the
+    unsharded canonical form. Requires ``T_loc % block == 0`` (the same
+    alignment class as the hop-divisibility constraints elsewhere in this
+    module); falls back to ``global_cumsum(x) % 1`` otherwise, which is
+    correct but carries ulp(T-scale) conditioning instead.
+    """
+    from ..ops.dsp import PHASE_BLOCK, wrapped_cumsum
+    blk = PHASE_BLOCK if block is None else block
+    b, tl = x.shape
+    if tl % blk != 0:
+        return global_cumsum(x, env) % 1
+    nb_loc = tl // blk
+    local = jnp.cumsum(x.reshape(b, nb_loc, blk), axis=-1)
+    totals = local[..., -1] % 1                          # (B, nb_loc)
+    tot_glob = lax.all_gather(totals, env.time_axis, axis=1,
+                              tiled=True)                # (B, nb_glob)
+    off = lax.associative_scan(lambda u, v: (u + v) % 1, tot_glob, axis=1)
+    off_excl = jnp.concatenate(
+        [jnp.zeros_like(off[:, :1]), off[:, :-1]], axis=1)
+    off_loc = lax.dynamic_slice_in_dim(
+        off_excl, tidx(env) * nb_loc, nb_loc, axis=1)
+    out = (local % 1 + off_loc[..., None]) % 1
+    return out.reshape(b, tl)
+
+
 def global_flip(x: jax.Array, env: SeqParEnv) -> jax.Array:
     """Reverse the global time axis of a time-sharded array: flip locally
     and mirror the shard order."""
@@ -734,10 +768,31 @@ def make_sharded_train_fn(task, mesh: Mesh, time_axis: str = "time",
         t_glob = x.shape[1]
         b_glob = x.shape[0]
 
-        def decode_body(p, ctrl_p, phase_sig, voicing_sig, x_loc):
+        def unsharded_decode_len(p, ctrl_p, phase_sig, voicing_sig, key):
+            """Static output length of the UNSHARDED decoder on the global
+            shapes (trace-only via eval_shape). The single-device step's
+            criterion integrates over exactly this support, so the sharded
+            criterion must clamp ``valid_len`` to it — per-op shrink calls
+            alone can overestimate it when a module's unsharded twin
+            truncates based on an upstream stage's already-shortened
+            output (e.g. the MLSA istft after a frame-OLA noise filter)."""
+            def run(pp, mm, kk):
+                return task.apply(
+                    {"params": pp}, rngs={"noise": kk, "dropout": kk},
+                    method=lambda m: m.decoder(**mm))
+            merged = dict(ctrl_p)
+            merged["phase"] = phase_sig
+            if voicing_sig is not None:
+                merged["voicing"] = voicing_sig
+            out = jax.eval_shape(run, p, merged, key)
+            return out.data.shape[1]
+
+        def decode_body(p, ctrl_p, phase_sig, voicing_sig, x_loc,
+                        valid0=None):
             env = SeqParEnv(time_axis=time_axis, n_time=n_time,
                             t_global=t_glob, b_global=b_glob,
-                            data_axis=da, n_data=n_data)
+                            data_axis=da, n_data=n_data,
+                            valid_len=valid0)
             with activate(env):
                 merged = dict(ctrl_p)
                 merged["phase"] = phase_sig
@@ -775,10 +830,12 @@ def make_sharded_train_fn(task, mesh: Mesh, time_axis: str = "time",
             assert not other, f"unexpected decoder inputs: {list(other)}"
 
             # --- shard_map region: sample-rate decode + sharded MSS ------
+            valid0 = unsharded_decode_len(
+                p, ctrl_params, phase_sig, voicing_sig, key)
             dspec = P(da) if da else P()
             xspec = P(da, time_axis)
             mss = shard_map(
-                decode_body, mesh=mesh,
+                lambda *a: decode_body(*a, valid0=valid0), mesh=mesh,
                 in_specs=(P(), dspec, xspec, dspec, xspec),
                 # check_vma=False: jnp.fft AD mis-types cotangents under
                 # vma tracking (jax 0.9.0); differentiation happens

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -184,3 +185,30 @@ def test_fft_conv_full_overlap_save():
         ref = np.stack([np.convolve(x[i], k, "full") for i in range(2)])
         np.testing.assert_allclose(y, ref, rtol=1e-4,
                                    atol=1e-4 * np.abs(ref).max())
+
+
+def test_wrapped_cumsum_matches_fp64_mod1():
+    """Blocked mod-1 phase integration: circularly equal to the fp64
+    cumsum mod 1 with T-independent error, consistent under truncation,
+    and exact for the integer-harmonic identity sin(2*pi*k*(c%1))."""
+    from golf_tpu.ops.dsp import wrapped_cumsum
+    rng = np.random.default_rng(0)
+    for t in (19200, 19199, 240, 7):          # aligned / ragged / short
+        x = rng.uniform(0.001, 0.05, (2, t)).astype(np.float32)
+        w = np.asarray(wrapped_cumsum(jnp.asarray(x)))
+        assert w.shape == x.shape and (w >= 0).all() and (w < 1).all()
+        ref = np.cumsum(x.astype(np.float64), 1) % 1
+        d = np.abs(w - ref)
+        assert np.minimum(d, 1 - d).max() < 2e-5, t
+    # long-signal conditioning: plain fp32 cumsum%1 degrades with T,
+    # wrapped stays put (this is the property the oscillators rely on)
+    xl = rng.uniform(0.001, 0.05, (1, 480000)).astype(np.float32)
+    wl = np.asarray(wrapped_cumsum(jnp.asarray(xl)))
+    refl = np.cumsum(xl.astype(np.float64), 1) % 1
+    dl = np.abs(wl - refl)
+    assert np.minimum(dl, 1 - dl).max() < 5e-5
+    # gradient flows (mod-1 is piecewise-identity)
+    g = jax.grad(lambda z: jnp.sum(
+        jnp.sin(2 * np.pi * 3 * wrapped_cumsum(z))))(
+        jnp.asarray(xl[:, :480]))
+    assert bool(jnp.isfinite(g).all())

@@ -346,3 +346,88 @@ def test_sharded_stft_filters_match(case):
     scale = np.abs(ref).max() + 1e-6
     np.testing.assert_allclose(got / scale, ref / scale,
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["mlsa", "nhv"])
+def test_seqpar_stft_variant_training_step_matches(variant):
+    """Full training step of the STFT-filter decoder variants (MLSA
+    source-filter, NHV harmonic-plus-noise with cepstral harm filter) on
+    an 8-way time mesh == single-device loss/gradients."""
+    mesh = make_mesh(data=1, time=8)
+    cfg = _tiny_golf_cfg(1)
+    osc = {"class_path": "models.synth.AdditivePulseTrain",
+           "init_args": {"num_harmonics": 16}}
+    if variant == "mlsa":
+        cfg["decoder"]["init_args"]["harm_oscillator"] = osc
+        cfg["decoder"]["init_args"]["end_filter"] = {
+            "class_path": "models.filters.LTVMLSAFilter",
+            "init_args": {"mode": "freq-domain", "frame_length": 512,
+                          "fft_length": 512, "window": "hanning",
+                          "filter_order": 12, "frame_period": 240,
+                          "alpha": 0.46, "phase": "minimum"}}
+    else:
+        cfg["decoder"] = {
+            "class_path": "models.hpn.HarmonicPlusNoiseSynth",
+            "init_args": {
+                "harm_oscillator": osc,
+                "noise_generator": {
+                    "class_path": "models.noise.StandardNormalNoise"},
+                "noise_filter": {
+                    "class_path": "models.filters.LTVZeroPhaseFIRFilter",
+                    "init_args": {"window": "hanning", "n_mag": 33}},
+                "harm_filter": {
+                    "class_path": "models.filters.LTVCepFilter",
+                    "init_args": {"n_fft": 512, "window": "hanning",
+                                  "filter_order": 60, "hop_length": 240,
+                                  "phase": "min"}},
+                "end_filter": {
+                    "class_path": "models.filters.LTIAcousticFilter",
+                    "init_args": {"length": 32, "conv_method": "fft"}}}}
+    task = build_voice_autoencoder(cfg)
+    b, t = 2, 8 * 2400
+    x, f0 = _make_inputs(b, t, seed=13)
+    variables = _init_task(task, x, f0)
+    key = jax.random.key(21)
+
+    (loss_ref, _), grads_ref = _unsharded_step(task, variables, x, f0, key)
+    step = seqpar.make_sharded_train_fn(task, mesh)
+    loss_s, grads_s, _, _ = step(
+        variables["params"], variables.get("stats", {}),
+        variables.get("batch_stats", {}), x, f0, key)
+    np.testing.assert_allclose(float(loss_s), float(loss_ref),
+                               rtol=5e-4, atol=5e-5)
+    flat_r, _ = jax.tree_util.tree_flatten(grads_ref)
+    flat_s, _ = jax.tree_util.tree_flatten(grads_s)
+    for gr, gs in zip(flat_r, flat_s):
+        gr, gs = np.asarray(gr), np.asarray(gs)
+        scale = np.abs(gr).max() + 1e-6
+        # atol 2e-3 of the leaf max: the MLSA/cep chain stacks ~4 FFT /
+        # hilbert / log-exp stages, whose fp32 reassociation noise on
+        # near-zero gradient components exceeds the GOLF-chain tolerance
+        np.testing.assert_allclose(gs / scale, gr / scale,
+                                   rtol=5e-3, atol=2e-3)
+
+
+def test_global_wrapped_cumsum_bit_matches_canonical():
+    """seqpar.global_wrapped_cumsum reproduces ops.dsp.wrapped_cumsum
+    BIT-exactly on an 8-way time mesh (same per-block cumsums, same
+    redundantly-run global mod-1 scan), so harmonic phase is identical
+    between the sharded and unsharded oscillator paths."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from golf_tpu.ops.dsp import wrapped_cumsum
+
+    mesh = make_mesh(data=1, time=8)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0.001, 0.05, (3, 8 * 2400)).astype(np.float32)
+    want = np.asarray(wrapped_cumsum(jnp.asarray(x)))
+
+    def body(z):
+        env = seqpar.SeqParEnv(time_axis="time", n_time=8,
+                               t_global=x.shape[1], b_global=3)
+        return seqpar.global_wrapped_cumsum(z, env)
+
+    got = shard_map(body, mesh=mesh, in_specs=P(None, "time"),
+                    out_specs=P(None, "time"), check_vma=False)(
+        jnp.asarray(x))
+    assert np.array_equal(np.asarray(got), want)
