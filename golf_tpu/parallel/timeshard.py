@@ -57,8 +57,8 @@ def _allpole_timesharded_fwd_impl(x: jax.Array, a: jax.Array, mesh: Mesh,
             return new, carry
 
         # prefix: incoming state of shard k = composition of shards < k
-        zi0 = lax.pvary(jnp.zeros((x_blk.shape[0], p), x_blk.dtype),
-                        (time_axis,))
+        zi0 = lax.pcast(jnp.zeros((x_blk.shape[0], p), x_blk.dtype),
+                        (time_axis,), to="varying")
         _, prefixes = lax.scan(compose, zi0, (m_all, v_all))
         s_in = prefixes[idx]
         return _allpole_impl(x_blk, a_blk, s_in, bs)

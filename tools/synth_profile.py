@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Per-stage on-chip profile of the bench synthesis chain (GOLF-ss,
+golf-precise, 6 s @ 24 kHz, B=1). Times each decoder stage as its own
+jitted callable (K-amortized to cancel the relay dispatch floor) so the
+33 ms/clip steady-state number can be attributed.
+
+Stages: ctrl transforms, wavetable source (4x oversampled + decimate),
+noise gen + zero-phase FIR, order-22 sample-wise all-pole, LTI room
+filter, and the full chain.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+from golf_tpu.utils.axon_boot import ensure_fixed_session
+
+ensure_fixed_session("golf-tpu-bench")
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from golf_tpu.core.sig import Sig
+    from golf_tpu.config.registry import instantiate, load_config
+
+    sr, seconds = 24000, 6.0
+    t = int(sr * seconds)
+    hop = 240
+    frames = t // hop + 1
+    b = 1
+    k_amort = 8
+
+    decoder_cfg = load_config(
+        "cfg/ae/decoder/golf-precise.yaml")["decoder"]
+    decoder = instantiate(decoder_cfg)
+
+    r = np.random.default_rng(0)
+    raw = {
+        "harm_oscillator_params": (
+            Sig(jnp.asarray(r.standard_normal(
+                (b, frames, 64)).astype(np.float32) * 0.1), hop),),
+        "noise_generator_params": (),
+        "noise_filter_params": (
+            Sig(jnp.asarray(r.standard_normal(
+                (b, frames, 256)).astype(np.float32) * 0.1 - 3.0), hop),),
+        "end_filter_params": (
+            Sig(jnp.asarray(r.standard_normal(
+                (b, frames)).astype(np.float32) * 0.1), hop),
+            Sig(jnp.asarray(r.standard_normal(
+                (b, frames, 22)).astype(np.float32) * 0.3), hop)),
+        "room_filter_params": (),
+    }
+    phase = Sig(jnp.full((b, t), 180.0 / sr), 1)
+
+    def body(mdl, method_name, *args):
+        return getattr(mdl, method_name)(*args)
+
+    var_shapes = jax.eval_shape(
+        lambda ph, rw: decoder.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)},
+            ph, rw, method=lambda m, p_, r_: m(p_, **m.apply_ctrl(r_))),
+        phase, raw)
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), var_shapes)
+
+    def apply(fn, *args):
+        return decoder.apply(variables, *args,
+                             rngs={"noise": jax.random.key(2)}, method=fn)
+
+    # stage callables (each K-amortized via lax.scan over a dummy carry)
+    def amortize(f, *args):
+        def k_fn(*a):
+            def step(c, _):
+                return c, f(*a)
+            _, ys = jax.lax.scan(step, 0, jnp.arange(k_amort))
+            return ys
+        jf = jax.jit(k_fn)
+        out = jf(*args)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jf(*args))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return (ts[len(ts) // 2]) / k_amort * 1e3  # ms per iteration
+
+    # precompute ctrl + stage inputs (host-side shapes only once)
+    ctrl = jax.jit(lambda rw: apply(
+        lambda m, r_: m.apply_ctrl(r_), rw))(raw)
+    harm = jax.jit(lambda ph, c: apply(
+        lambda m, p_, c_: m.harm_oscillator(p_, *c_["harm_oscillator_params"]),
+        ph, c))(phase, ctrl)
+    noise = jax.jit(lambda h, c: apply(
+        lambda m, h_, c_: m.noise_generator(h_, *c_["noise_generator_params"]),
+        h, c))(harm, ctrl)
+    nf = jax.jit(lambda n, c: apply(
+        lambda m, n_, c_: m.noise_filter(n_, *c_["noise_filter_params"]),
+        n, c))(noise, ctrl)
+    tmin = min(harm.data.shape[1], nf.data.shape[1])
+    src = Sig(harm.data[:, :tmin] + nf.data[:, :tmin], 1)
+    ef = jax.jit(lambda s, c: apply(
+        lambda m, s_, c_: m.end_filter(s_, *c_["end_filter_params"]),
+        s, c))(src, ctrl)
+
+    res = {}
+    res["ctrl_ms"] = amortize(
+        lambda rw: apply(lambda m, r_: m.apply_ctrl(r_), rw), raw)
+    res["harm_source_ms"] = amortize(
+        lambda ph, c: apply(
+            lambda m, p_, c_: m.harm_oscillator(
+                p_, *c_["harm_oscillator_params"]).data, ph, c),
+        phase, ctrl)
+    res["noise_gen_ms"] = amortize(
+        lambda h, c: apply(
+            lambda m, h_, c_: m.noise_generator(
+                h_, *c_["noise_generator_params"]).data, h, c),
+        harm, ctrl)
+    res["noise_filter_ms"] = amortize(
+        lambda n, c: apply(
+            lambda m, n_, c_: m.noise_filter(
+                n_, *c_["noise_filter_params"]).data, n, c),
+        noise, ctrl)
+    res["allpole_ms"] = amortize(
+        lambda s, c: apply(
+            lambda m, s_, c_: m.end_filter(
+                s_, *c_["end_filter_params"]).data, s, c),
+        src, ctrl)
+    res["room_ms"] = amortize(
+        lambda y, c: apply(
+            lambda m, y_, c_: m.room_filter(
+                y_, *c_["room_filter_params"]).data, y, c),
+        ef, ctrl)
+    res["full_chain_ms"] = amortize(
+        lambda ph, rw: apply(
+            lambda m, p_, r_: m(p_, **m.apply_ctrl(r_)).data, ph, rw),
+        phase, raw)
+    res["sum_stages_ms"] = round(sum(
+        v for k, v in res.items() if k.endswith("_ms")
+        and k not in ("full_chain_ms", "sum_stages_ms")), 3)
+    res = {k: (round(v, 3) if isinstance(v, float) else v)
+           for k, v in res.items()}
+    res["device"] = str(jax.devices()[0])
+    res["k_amortize"] = k_amort
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
