@@ -259,6 +259,29 @@ def _allpole_bwd(block_size, res, g):
 _allpole_vjp.defvjp(_allpole_fwd, _allpole_bwd)
 
 
+def allpole_stream(x: jax.Array, a: jax.Array,
+                   zi: Optional[jax.Array] = None
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Stateful time-varying all-pole for chunked/streaming serving.
+
+    x: (B, T_chunk), a: (B, T_chunk, p), zi: (B, p) — the filter state,
+    i.e. the last p OUTPUTS of the previous chunk, most recent first
+    (zeros at stream start). Returns (y, zi_next) so that feeding
+    consecutive chunks reproduces the one-shot ``allpole`` on the
+    concatenated signal exactly. Inference-path op (no custom VJP);
+    fp32 state like ``allpole``.
+    """
+    p = a.shape[-1]
+    assert x.shape[1] >= p, (x.shape, p)
+    if zi is None:
+        zi = jnp.zeros((x.shape[0], p), jnp.float32)
+    dt = x.dtype
+    y = _allpole_impl(x.astype(jnp.float32), a.astype(jnp.float32),
+                      zi.astype(jnp.float32), None)
+    zi_next = y[:, -1:-p - 1:-1]
+    return y.astype(dt), zi_next
+
+
 def allpole(x: jax.Array, a: jax.Array,
             block_size: Optional[int] = None) -> jax.Array:
     """Differentiable time-varying all-pole filter.

@@ -16,6 +16,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
+
 CANDIDATES = ["golf-tpu-bench", "golf-tpu-bench-b", "golf-tpu-bench-c"]
 
 

@@ -14,6 +14,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
+
 from golf_tpu.utils.axon_boot import ensure_fixed_session
 
 ensure_fixed_session("golf-tpu-bench")
