@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Streaming synthesis demo: drive ``golf_tpu.serve.GOLFStream`` from a
+trained checkpoint, chunk by chunk, and report per-chunk latency.
+
+Runs the encoder offline on one utterance (analysis is frame-rate and
+cheap; a causal/chunked encoder is future work — the BiLSTM backbone is
+bidirectional), then streams the decoder: one jitted dispatch per chunk,
+constant memory, 2-chunk algorithmic latency.
+
+    python scripts/stream_demo.py --config cfg/ae/synthetic-mid.yaml \
+        --model cfg/ae/decoder/golf-precise-stable.yaml \
+        --ckpt_path runs/r2/golf_ss2b/ckpt/last --out /tmp/stream.wav
+"""
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from golf_tpu.utils.axon_boot import ensure_fixed_session  # noqa: E402
+
+ensure_fixed_session("golf-tpu-bench")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", action="append", default=[])
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--ckpt_path", required=True)
+    ap.add_argument("--chunk", type=int, default=2400)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    import yaml
+    from golf_tpu.config.registry import (apply_overrides, deep_update,
+                                          instantiate,
+                                          resolve_interpolations)
+    from golf_tpu.core.sig import Sig
+    from golf_tpu.serve import GOLFStream
+    from golf_tpu.tasks.cli import build_from_config
+
+    cfg = {}
+    for path in args.config:
+        with open(path) as f:
+            cfg = deep_update(cfg, yaml.safe_load(f))
+    if args.model:
+        with open(args.model) as f:
+            cfg.setdefault("model", {}).setdefault("init_args", {})
+            cfg["model"]["init_args"] = deep_update(
+                cfg["model"]["init_args"], yaml.safe_load(f))
+    if args.overrides:
+        cfg = apply_overrides(cfg, args.overrides)
+    cfg = resolve_interpolations(cfg)
+
+    task, datamodule, trainer_kwargs = build_from_config(cfg)
+    from golf_tpu.train.loop import Trainer
+    trainer = Trainer(task, run_dir="/tmp/stream_demo_run",
+                      **trainer_kwargs)
+    datamodule.setup("fit")
+    batch = next(iter(datamodule.val_dataloader()))
+    state = trainer.init_state(batch)
+    state = trainer.ckpt.restore_into(args.ckpt_path, state)
+    variables = {"params": state.params, "stats": state.stats,
+                 "batch_stats": state.batch_stats}
+
+    # one utterance, trimmed to whole chunks
+    x = np.asarray(batch[0])[:1]
+    f0 = np.asarray(batch[1])[:1]
+    chunk = args.chunk
+    t = (x.shape[1] // chunk) * chunk
+    x, f0 = x[:, :t], f0[:, :t]
+    n_chunks = t // chunk
+    sr = cfg["model"].get("init_args", {}).get("sample_rate", 24000)
+
+    # offline analysis (frame-rate): raw ctrl + sample-rate phase
+    @jax.jit
+    def analyze(xs, f0s):
+        raw, _, _ = task.apply(
+            variables, Sig(xs, 1), Sig(f0s, 1), False,
+            rngs={"noise": jax.random.key(0), "dropout": jax.random.key(0)},
+            method=lambda m, *a: m.prepare_training(*a))
+        phase = raw.pop("phase")
+        raw.pop("voicing", None)
+        ctrl = task.apply(variables,
+                          {k: v for k, v in raw.items()
+                           if k.endswith("_params")},
+                          method=lambda m, r: m.decoder.apply_ctrl(r))
+        return ctrl, phase.data
+
+    ctrl, phase = analyze(x, f0)
+    jax.block_until_ready(phase)
+
+    decoder = instantiate(cfg["model"]["init_args"]["decoder"])
+    dec_vars = {"params": state.params["decoder"]}
+    stream = GOLFStream(decoder, dec_vars, chunk=chunk)
+    hop = stream.hop
+    rpc, rpt = chunk // hop, chunk // stream.table_hop
+
+    def rows(sig, c, per):
+        return Sig(sig.data[:, c * per:(c + 1) * per], sig.hop)
+
+    outs, lat = [], []
+    for c in range(n_chunks):
+        cc = {
+            "harm_oscillator_params": (
+                rows(ctrl["harm_oscillator_params"][0], c, rpt),),
+            "noise_filter_params": (
+                rows(ctrl["noise_filter_params"][0], c, rpc),),
+            "end_filter_params": (
+                rows(ctrl["end_filter_params"][0], c, rpc),
+                rows(ctrl["end_filter_params"][1], c, rpc)),
+        }
+        t0 = time.perf_counter()
+        out = stream.push(cc, phase[:, c * chunk:(c + 1) * chunk])
+        lat.append(time.perf_counter() - t0)
+        if out is not None:
+            outs.append(out)
+    tail = {k: (Sig(v[0].data[:, n_chunks * (rpt if k.startswith("harm")
+                                             else rpc):],
+                    v[0].hop),) + tuple(v[1:])
+            for k, v in ctrl.items() if k in (
+                "harm_oscillator_params", "noise_filter_params")}
+    tail["end_filter_params"] = (
+        Sig(ctrl["end_filter_params"][0].data[:, n_chunks * rpc:], hop),
+        Sig(ctrl["end_filter_params"][1].data[:, n_chunks * rpc:], hop))
+    outs.append(stream.flush(tail))
+    audio = np.concatenate(outs, axis=1)
+
+    if args.out:
+        from golf_tpu.utils.wav import write_wav
+        write_wav(args.out, audio[0], sr)
+    warm = sorted(lat[2:])  # first pushes include compile
+    med = warm[len(warm) // 2] if warm else float("nan")
+    print(json.dumps({
+        "chunks": n_chunks, "chunk_samples": chunk,
+        "chunk_ms": round(chunk / sr * 1e3, 1),
+        "median_push_latency_ms": round(med * 1e3, 2),
+        "xrt_per_stream": round(chunk / sr / med, 1),
+        "out": args.out, "samples": int(audio.shape[1]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
