@@ -4,7 +4,7 @@
 Primary metric: steady-state serving throughput of the full GOLF-ss
 synthesis chain (glottal wavetable source -> zero-phase FIR noise shaping
 -> sample-wise order-22 LPC filter -> acoustic room filter) on one chip,
-expressed as x-real-time per stream: K=4 independent 6 s clips are
+expressed as x-real-time per stream: K=8 independent 6 s clips are
 synthesized per dispatch (a lax.scan pipeline), amortizing the dev-relay's
 per-dispatch floor; each clip is computed sequentially (no batching).
 Single-dispatch latency (the reference test_rtf protocol) is reported on
@@ -37,7 +37,7 @@ def main():
     seconds = 6.0
     t = int(sr * seconds)
     n_runs = 7
-    k_clips = 4
+    k_clips = 8
     hop = 240
     frames = t // hop + 1
     b = 1

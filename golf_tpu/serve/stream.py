@@ -86,6 +86,8 @@ class GOLFStream:
         room = decoder.room_filter
         self.room_len = getattr(room, "length", 1) if room is not None else 1
         assert chunk > max(self.p, self.room_len)
+        assert not decoder.subtract_harmonics or \
+            decoder.noise_filter is not None
 
         self._bufs: Dict[str, list] = {k: [] for k in _BUF_KEYS}
         self._base = 0          # chunk index of _bufs[*][0]
@@ -187,6 +189,10 @@ class GOLFStream:
 
     def push(self, ctrl: Dict[str, Tuple[Sig, ...]], phase: jax.Array,
              noise: Optional[jax.Array] = None) -> Optional[np.ndarray]:
+        assert "voicing" not in ctrl, (
+            "voicing-gated streaming is not supported yet — gate the "
+            "harmonic branch upstream (zero the phase in unvoiced "
+            "regions) or use the offline decoder")
         b = phase.shape[0]
         if self._state is None:
             self._state = self._init_state(b)
