@@ -1,9 +1,15 @@
 #!/bin/bash
-# Relay-recovery watcher: poll until the axon backend initializes, then
-# run the consolidated remaining round-2 chip work:
-#   ss2b finetune (pole-capped, lr 5e-6, smooth 0.1) -> test
-#   -> mlsa-taylor fit/test -> floor probe -> synth profile -> bench
-#   -> stream demo -> predict + PESQ + FAD for golf_ff / golf_ss2b
+# Relay-recovery watcher + consolidated remaining round-2 chip work,
+# parity evidence first, open-ended finetune last:
+#  1. golf-fs ZERO-SHOT eval: the reference's actual GOLF-ss protocol is
+#     the frame-wise-trained checkpoint evaluated with the sample-wise
+#     filter (reference README.md:94) — test golf_ff's ckpt with
+#     end_filter=LTVMinimumPhaseFilterPrecise.
+#  2. mlsa-taylor fit/test (variant-table straggler)
+#  3. floor probe, synth per-stage profile, bench, stream demo
+#  4. predict + PESQ + FAD for golf_ff
+#  5. golf_ss2b sample-wise finetune (pole-capped) with remaining time,
+#     then test + predict + PESQ/FAD if it produced a checkpoint.
 set -u
 cd /root/repo
 log() { echo "== $* : $(date -u)"; }
@@ -14,25 +20,16 @@ until timeout 120 python -c "import jax; print(jax.devices())" \
   sleep 300
 done
 log "relay back"
-
-SS_BUDGET=$(( 4 * 3600 ))
 MID="--config cfg/ae/synthetic-mid.yaml"
 SMODEL=cfg/ae/decoder/golf-precise-stable.yaml
 
-log "golf_ss2b finetune (budget ${SS_BUDGET}s)"
-timeout $SS_BUDGET python autoencode.py fit $MID --model $SMODEL \
-    trainer.max_steps=12000 trainer.check_val_every_n_steps=500 \
-    optimizer.init_args.lr=0.000005 \
-    model.init_args.coef_smooth_weight=0.1 \
-    ckpt_params_only=true ckpt_path=runs/r2/golf_ff/ckpt/last \
-    --run_dir runs/r2/golf_ss2b > runs/r2/golf_ss2b.fit.log 2>&1
-if [ -e runs/r2/golf_ss2b/ckpt/last ]; then
-  log "test golf_ss2b"
-  timeout 1800 python autoencode.py test $MID --model $SMODEL \
-      model.init_args.coef_smooth_weight=0.1 \
-      --ckpt_path runs/r2/golf_ss2b/ckpt/last \
-      --run_dir runs/r2/golf_ss2b > runs/r2/golf_ss2b.test.log 2>&1
-fi
+log "golf-fs zero-shot test (ff ckpt + sample-wise filter)"
+timeout 2400 python autoencode.py test $MID \
+    --model cfg/ae/decoder/golf.yaml \
+    'model.init_args.decoder.init_args.end_filter={class_path: models.filters.LTVMinimumPhaseFilterPrecise, init_args: {lpc_order: 22, lpc_parameterisation: rc2lpc}}' \
+    ckpt_params_only=true \
+    --ckpt_path runs/r2/golf_ff/ckpt/last \
+    --run_dir runs/r2/golf_fs > runs/r2/golf_fs.test.log 2>&1
 
 log "fit var_mlsa_taylor"
 timeout 3600 python autoencode.py fit $MID \
@@ -52,11 +49,9 @@ timeout 2400 python tools/synth_profile.py > runs/r2/synth_profile.json 2> runs/
 log "bench rerun"
 timeout 2400 python bench.py > runs/r2/bench_quiet2.json 2> runs/r2/bench_quiet2.err
 
-CKPT=runs/r2/golf_ss2b/ckpt/last
-[ -e "$CKPT" ] || CKPT=runs/r2/golf_ss2/ckpt/last
-log "stream demo on-chip ($CKPT)"
+log "stream demo on-chip (ss2 ckpt)"
 timeout 2400 python scripts/stream_demo.py $MID --model $SMODEL \
-    --ckpt_path "$CKPT" --out runs/r2/stream_demo.wav \
+    --ckpt_path runs/r2/golf_ss2/ckpt/last --out runs/r2/stream_demo.wav \
     > runs/r2/stream_demo.json 2> runs/r2/stream_demo.err
 
 log "predict golf_ff"
@@ -64,21 +59,38 @@ timeout 2400 python autoencode.py predict $MID \
     --model cfg/ae/decoder/golf.yaml \
     --ckpt_path runs/r2/golf_ff/ckpt/last \
     --run_dir runs/r2/golf_ff > runs/r2/golf_ff.predict.log 2>&1
+if [ -d runs/r2/golf_ff/predictions ]; then
+  log "pesq+fad golf_ff"
+  timeout 1200 python eval_pesq.py runs/r2/refs runs/r2/golf_ff/predictions \
+      > runs/r2/golf_ff.pesq.log 2>&1
+  timeout 1200 python fad.py runs/r2/refs runs/r2/golf_ff/predictions \
+      > runs/r2/golf_ff.fad.log 2>&1
+fi
+
+SS_BUDGET=$(( 3 * 3600 ))
+log "golf_ss2b finetune (budget ${SS_BUDGET}s)"
+timeout $SS_BUDGET python autoencode.py fit $MID --model $SMODEL \
+    trainer.max_steps=10000 trainer.check_val_every_n_steps=500 \
+    optimizer.init_args.lr=0.000005 \
+    model.init_args.coef_smooth_weight=0.1 \
+    ckpt_params_only=true ckpt_path=runs/r2/golf_ff/ckpt/last \
+    --run_dir runs/r2/golf_ss2b > runs/r2/golf_ss2b.fit.log 2>&1
 if [ -e runs/r2/golf_ss2b/ckpt/last ]; then
+  log "test golf_ss2b"
+  timeout 1800 python autoencode.py test $MID --model $SMODEL \
+      model.init_args.coef_smooth_weight=0.1 \
+      --ckpt_path runs/r2/golf_ss2b/ckpt/last \
+      --run_dir runs/r2/golf_ss2b > runs/r2/golf_ss2b.test.log 2>&1
   log "predict golf_ss2b"
   timeout 2400 python autoencode.py predict $MID --model $SMODEL \
       model.init_args.coef_smooth_weight=0.1 \
       --ckpt_path runs/r2/golf_ss2b/ckpt/last \
       --run_dir runs/r2/golf_ss2b > runs/r2/golf_ss2b.predict.log 2>&1
+  if [ -d runs/r2/golf_ss2b/predictions ]; then
+    timeout 1200 python eval_pesq.py runs/r2/refs runs/r2/golf_ss2b/predictions \
+        > runs/r2/golf_ss2b.pesq.log 2>&1
+    timeout 1200 python fad.py runs/r2/refs runs/r2/golf_ss2b/predictions \
+        > runs/r2/golf_ss2b.fad.log 2>&1
+  fi
 fi
-for name in golf_ff golf_ss2b; do
-  P=runs/r2/$name/predictions
-  [ -d "$P" ] || continue
-  log "pesq $name"
-  timeout 1200 python eval_pesq.py runs/r2/refs "$P" \
-      > runs/r2/$name.pesq.log 2>&1
-  log "fad $name"
-  timeout 1200 python fad.py runs/r2/refs "$P" \
-      > runs/r2/$name.fad.log 2>&1
-done
 log "recover-queue complete"
