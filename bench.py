@@ -24,53 +24,14 @@ from golf_tpu.utils.axon_boot import ensure_fixed_session
 ensure_fixed_session("golf-tpu-bench")
 
 
-def _floor_ms():
-    """Dispatch floor of THIS connection: median round-trip of a trivial
-    cached executable."""
-    import jax
-    import jax.numpy as jnp
-    tiny = jax.jit(lambda a: a + 1.0)
-    x = jnp.float32(1.0)
-    jax.block_until_ready(tiny(x))
-    ts = []
-    for _ in range(9):
-        t0 = time.perf_counter()
-        jax.block_until_ready(tiny(x))
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2] * 1e3
-
-
-def _maybe_retry_session(max_tries: int = 4, slow_ms: float = 5.0):
-    """The dev relay's per-dispatch floor is connection-bimodal
-    (docs/TPU_NOTES.md: ~0.09 ms vs ~25-52 ms for identical cached
-    executables). Probe the floor first and re-exec for a fresh
-    connection when this one landed in the slow mode; keep the last
-    attempt either way."""
-    import os
-    import sys
-    tries = int(os.environ.get("_GOLF_BENCH_TRY", "0"))
-    f = _floor_ms()
-    if f <= slow_ms or tries >= max_tries:
-        print(f"# dispatch floor {f:.2f} ms (attempt {tries})",
-              file=sys.stderr)
-        return f
-    print(f"# dispatch floor {f:.2f} ms — slow session, retrying "
-          f"({tries + 1}/{max_tries})", file=sys.stderr)
-    env = dict(os.environ)
-    env["_GOLF_BENCH_TRY"] = str(tries + 1)
-    env.pop("_GOLF_AXON_CHILD", None)  # re-run the registration path
-    if env.get("_GOLF_AXON_POOL_IPS"):
-        env["PALLAS_AXON_POOL_IPS"] = env["_GOLF_AXON_POOL_IPS"]
-    os.execve(sys.executable, [sys.executable] + sys.argv, env)
-
-
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    _maybe_retry_session()
+    from golf_tpu.utils.axon_boot import ensure_fast_connection
+    if jax.default_backend() not in ("cpu",):
+        ensure_fast_connection()
     import jax.numpy as jnp
     from golf_tpu.core.sig import Sig
     from golf_tpu.config.registry import instantiate, load_config

@@ -47,3 +47,46 @@ def _manual_register(session_id: str) -> None:
                  session_id=session_id, remote_compile=rc)
     except Exception as e:  # pragma: no cover - environment-specific
         print(f"[axon_boot] manual register failed: {e}", file=sys.stderr)
+
+
+def connection_floor_ms(n: int = 9) -> float:
+    """Median round-trip of a trivial cached executable on THIS
+    connection (the dev relay's per-dispatch floor)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    tiny = jax.jit(lambda a: a + 1.0)
+    x = jnp.float32(1.0)
+    jax.block_until_ready(tiny(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(tiny(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2] * 1e3
+
+
+def ensure_fast_connection(max_tries: int = 4, slow_ms: float = 5.0
+                           ) -> float:
+    """The dev relay's dispatch floor is connection-bimodal (~0.09 ms vs
+    ~25-52 ms for identical cached executables — docs/TPU_NOTES.md).
+    Probe the floor and re-exec the process for a fresh connection while
+    it lands in the slow mode; keeps the last attempt either way. Call
+    AFTER jax is importable (and after ensure_fixed_session). Returns
+    the floor of the surviving connection in ms."""
+    tries = int(os.environ.get("_GOLF_CONN_TRY", "0"))
+    f = connection_floor_ms()
+    if f <= slow_ms or tries >= max_tries:
+        print(f"[axon_boot] dispatch floor {f:.2f} ms "
+              f"(attempt {tries})", file=sys.stderr)
+        return f
+    print(f"[axon_boot] dispatch floor {f:.2f} ms — slow connection, "
+          f"retrying ({tries + 1}/{max_tries})", file=sys.stderr)
+    env = dict(os.environ)
+    env["_GOLF_CONN_TRY"] = str(tries + 1)
+    env.pop("_GOLF_AXON_CHILD", None)    # re-run the registration path
+    if env.get("_GOLF_AXON_POOL_IPS"):
+        env["PALLAS_AXON_POOL_IPS"] = env["_GOLF_AXON_POOL_IPS"]
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)

@@ -39,6 +39,9 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_comp_cache")
+    from golf_tpu.utils.axon_boot import ensure_fast_connection
+    if jax.default_backend() not in ("cpu",):
+        ensure_fast_connection()
     import yaml
     from golf_tpu.config.registry import (apply_overrides, deep_update,
                                           instantiate,

@@ -25,6 +25,9 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_comp_cache")
+    from golf_tpu.utils.axon_boot import ensure_fast_connection
+    if jax.default_backend() not in ("cpu",):
+        ensure_fast_connection()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from golf_tpu.core.sig import Sig
