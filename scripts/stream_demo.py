@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--ckpt_path", required=True)
     ap.add_argument("--chunk", type=int, default=2400)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--enc_context", type=int, default=0,
+                    help="stream the ENCODER too: windowed recomputation "
+                         "with this many frames of context+lookahead "
+                         "(0 = offline encoder)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -107,12 +111,70 @@ def main():
     hop = stream.hop
     rpc, rpt = chunk // hop, chunk // stream.table_hop
 
+    if args.enc_context:
+        # WINDOWED-ENCODER streaming: recompute the (BiLSTM) encoder per
+        # chunk on [C frames context | chunk | C frames lookahead] and
+        # keep only the central ctrl rows — the trained BiLSTM's memory
+        # decays with context (typical mid-stream decay measured on the
+        # golf_ff ckpt: 8e-3 / 9e-4 / 7e-5 / 4e-6 at C=8/16/32/64
+        # frames; worst-case rows at signal transients need more:
+        # 4e-2 / 1.2e-2 / 3e-4 at C=30/60/100 over a full utterance on
+        # the ss2 ckpt). This mode is APPROXIMATE by design — the demo
+        # prints the measured ctrl error vs the offline encoder.
+        # Full-pipeline streaming = this + GOLFStream.
+        rate = stream.table_hop // hop
+        C = -(-args.enc_context // rate) * rate  # align the window start
+        # to the table-weight pooling grid (AvgPool groups of hop_rate
+        # frames), else windowed table rows pool different frame groups
+        ctx = C * hop
+        win_ctrl = []
+        for c in range(n_chunks):
+            s0 = max(0, c * chunk - ctx)
+            s1 = min(t, (c + 1) * chunk + ctx)
+            wc, _ = analyze(x[:, s0:s1], f0[:, s0:s1])
+            r0 = (c * chunk - s0) // hop
+            sliced = {}
+            for k, sigs in wc.items():
+                outk = []
+                for s in sigs:
+                    ratio = s.hop // hop if s.hop >= hop else 1
+                    rr0, nn = r0 // ratio, max(rpc // ratio, 1)
+                    outk.append(Sig(s.data[:, rr0:rr0 + nn], s.hop))
+                sliced[k] = tuple(outk)
+            win_ctrl.append(sliced)
+        # max central-row error vs the offline encoder (evidence line)
+        errs = []
+        for k in ("harm_oscillator_params", "noise_filter_params",
+                  "end_filter_params"):
+            for i, s in enumerate(ctrl[k]):
+                per = max(rpc // (s.hop // hop), 1)
+                off = np.concatenate(
+                    [np.asarray(w[k][i].data) for w in win_ctrl], axis=1)
+                ref = np.asarray(s.data)[:, :off.shape[1]]
+                e = float(np.abs(off - ref).max()
+                          / (np.abs(ref).max() + 1e-9))
+                errs.append(e)
+                if e > 1e-3:
+                    rowbad = int(np.abs(off - ref).max(
+                        axis=(0,) + tuple(range(2, off.ndim))).argmax())
+                    print(f"#   leaf {k}[{i}] err {e:.3e} at row "
+                          f"{rowbad}/{off.shape[1]}", file=sys.stderr)
+        print(json.dumps({"enc_context_frames": C,
+                          "windowed_ctrl_rel_err": round(max(errs), 6)}),
+              file=sys.stderr)
+
+        def chunk_ctrl_for(c):
+            return win_ctrl[c]
+    else:
+        def chunk_ctrl_for(c):
+            return None
+
     def rows(sig, c, per):
         return Sig(sig.data[:, c * per:(c + 1) * per], sig.hop)
 
     outs, lat = [], []
     for c in range(n_chunks):
-        cc = {
+        cc = chunk_ctrl_for(c) or {
             "harm_oscillator_params": (
                 rows(ctrl["harm_oscillator_params"][0], c, rpt),),
             "noise_filter_params": (
