@@ -3,8 +3,8 @@
 
 Methods: 'dio' (default; WORLD-lite, 5 ms hop), 'native' (C++ worldlite
 if built), 'swipe' (SWIPE' sawtooth-inspired estimator, the
-pysptk.swipe equivalent), 'penn' (neural; requires pretrained weights —
-unavailable in this image, errors with an explicit message).
+pysptk.swipe equivalent), 'penn' (neural; the in-image-trained golf_tpu PitchNet,
+periodicity-gated at 0.065 like the reference's penn path).
 5 ms hop, floor/ceil flags.
 """
 import argparse
@@ -30,10 +30,12 @@ def process(task):
                    hopsize=int(sr * 5 / 1000), min=floor, max=ceil,
                    otype="f0")
     elif method == "penn":
-        raise SystemExit(
-            "penn is a neural pitch estimator that needs pretrained "
-            "weights; none are available in this image (no network "
-            "egress). Use --method dio or swipe.")
+        # neural pitch (reference: penn/FCNF0++ with pretrained weights;
+        # here: the in-image-trained golf_tpu PitchNet — same hop,
+        # same periodicity>0.065 unvoiced gating)
+        from golf_tpu.utils.pitchnet import predict
+        f0, _ = predict(x, sr, hop_ms=5.0)
+        f0 = np.where((f0 >= floor) & (f0 <= ceil), f0, 0.0)
     else:
         from golf_tpu.utils import native
         # 'dio' = full multi-band algorithm; 'native' = fast C++ YIN

@@ -16,7 +16,8 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
 
 CANDIDATES = ["golf-tpu-bench", "golf-tpu-bench-b", "golf-tpu-bench-c"]
 

@@ -14,7 +14,8 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
 
 from golf_tpu.utils.axon_boot import ensure_fixed_session
 
