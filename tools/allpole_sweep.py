@@ -26,18 +26,44 @@ from golf_tpu.utils.axon_boot import ensure_fixed_session
 ensure_fixed_session("golf-tpu-bench")
 
 
-def timed(fn, *args, n=5):
+def timed(fn, *args, n=5, k_amort=8):
+    """Median per-call time of ``fn(*leaf)`` with the relay dispatch floor
+    amortized away: the K calls run inside ONE dispatched executable, as a
+    ``lax.scan`` over K DIFFERENT stacked inputs.
+
+    Feeding K distinct inputs (not the same buffer K times) is essential:
+    a pure call on loop-invariant operands is hoisted out of the scan by
+    XLA CSE, and the loop then times NOTHING — that artifact produced
+    physically impossible entries (0.14 ms for a call with >3 GB of HBM
+    traffic) in the first recorded table.
+    """
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    stacked = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a * (1.0 + 0.01 * i) for i in range(k_amort)]),
+        list(args))
+
+    def k_fn(xs):
+        def step(c, leaf):
+            # full-sum consumption: forces every output element on both
+            # backends (a partial slice would let XLA dead-code-eliminate
+            # work from the non-opaque path) while keeping the per-
+            # iteration carried output to a scalar
+            return c, jnp.sum(fn(*leaf))
+        _, ys = jax.lax.scan(step, 0, xs)
+        return ys
+
+    jf = jax.jit(k_fn)
+    jax.block_until_ready(jf(stacked))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        jax.block_until_ready(jf(stacked))
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    return sum(ts[1:-1]) / max(len(ts) - 2, 1) if len(ts) > 2 else min(ts)
+    mid = ts[len(ts) // 2]
+    return mid / k_amort
 
 
 def main():
@@ -62,7 +88,8 @@ def main():
 
     # time-varying kernel: serving/training shapes
     if args.quick:
-        tv_grid = [(1, 144000, 22), (32, 48000, 22), (64, 48000, 22)]
+        tv_grid = [(1, 144000, 22), (8, 144000, 22),
+                   (32, 48000, 22), (64, 48000, 22)]
     else:
         tv_grid = [(b, t, p)
                    for b in (1, 4, 16, 32, 64, 128)

@@ -34,15 +34,22 @@ def main():
     from golf_tpu.core.sig import Sig
     from golf_tpu.config.registry import instantiate, load_config
 
-    sr, seconds = 24000, 6.0
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--seconds", type=float, default=6.0)
+    ap.add_argument("--k_amort", type=int, default=8)
+    ap.add_argument("--decoder", default="cfg/ae/decoder/golf-precise.yaml")
+    cli = ap.parse_args()
+
+    sr, seconds = 24000, cli.seconds
     t = int(sr * seconds)
     hop = 240
     frames = t // hop + 1
-    b = 1
-    k_amort = 8
+    b = cli.batch
+    k_amort = cli.k_amort
 
-    decoder_cfg = load_config(
-        "cfg/ae/decoder/golf-precise.yaml")["decoder"]
+    decoder_cfg = load_config(cli.decoder)["decoder"]
     decoder = instantiate(decoder_cfg)
 
     r = np.random.default_rng(0)
@@ -78,20 +85,32 @@ def main():
         return decoder.apply(variables, *args,
                              rngs={"noise": jax.random.key(2)}, method=fn)
 
-    # stage callables (each K-amortized via lax.scan over a dummy carry)
+    # Stage callables, K-amortized via lax.scan over K *distinct* stacked
+    # inputs. Distinct inputs are essential: a pure stage applied to
+    # loop-invariant operands is hoisted out of the scan by XLA CSE and
+    # the loop times nothing (this exact artifact produced impossible
+    # sub-ms numbers in the first dispatch-table sweep).
     def amortize(f, *args):
-        def k_fn(*a):
-            def step(c, _):
-                return c, f(*a)
-            _, ys = jax.lax.scan(step, 0, jnp.arange(k_amort))
+        stacked = jax.tree_util.tree_map(
+            lambda a: jnp.stack(
+                [a * (1.0 + 0.01 * i) for i in range(k_amort)]),
+            list(args))
+
+        def k_fn(xs):
+            def step(c, leaf):
+                out = f(*leaf)
+                tot = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(out))
+                return c, tot
+            _, ys = jax.lax.scan(step, 0.0, xs)
             return ys
+
         jf = jax.jit(k_fn)
-        out = jf(*args)
+        out = jf(stacked)
         jax.block_until_ready(out)
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(jf(*args))
+            jax.block_until_ready(jf(stacked))
             ts.append(time.perf_counter() - t0)
         ts.sort()
         return (ts[len(ts) // 2]) / k_amort * 1e3  # ms per iteration
@@ -153,6 +172,9 @@ def main():
            for k, v in res.items()}
     res["device"] = str(jax.devices()[0])
     res["k_amortize"] = k_amort
+    res["batch"] = b
+    res["seconds"] = seconds
+    res["decoder"] = cli.decoder
     print(json.dumps(res))
 
 
