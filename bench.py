@@ -82,14 +82,18 @@ def main():
     variables = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), var_shapes)
 
-    def synth_one(ph, raw):
-        return decoder.apply(variables, ph, raw,
+    # ``variables`` is an explicit argument (NOT a closure): closed-over
+    # arrays become embedded constants under jit, and a constant glottal
+    # wavetable triggers a pathological XLA lowering of the bilinear
+    # lookup (~47 ms vs ~0.1 ms; see models/synth.py GlottalFlowTable).
+    def synth_one(vs, ph, raw):
+        return decoder.apply(vs, ph, raw,
                              rngs={"noise": jax.random.key(2)},
                              method=body).data
 
-    def synth_k(ph, raws):
+    def synth_k(vs, ph, raws):
         def step(carry, raw):
-            return carry, synth_one(ph, raw)
+            return carry, synth_one(vs, ph, raw)
         _, ys = jax.lax.scan(step, 0, raws)
         return ys
 
@@ -109,8 +113,8 @@ def main():
             ts = ts[1:-1]
         return sum(ts) / len(ts)
 
-    t_k = timed(jit_k, phase, raws) / k_clips
-    t_one = timed(jit_one, phase, raw1)
+    t_k = timed(jit_k, variables, phase, raws) / k_clips
+    t_one = timed(jit_one, variables, phase, raw1)
 
     # relay dispatch floor: the time of a trivial cached executable. The
     # dev relay's floor is session-bimodal (docs/TPU_NOTES.md) — report

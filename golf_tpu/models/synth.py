@@ -115,7 +115,16 @@ class GlottalFlowTable(OscillatorInterface):
         if self.trainable:
             self.table = self.param("table", lambda key: jnp.asarray(table))
         else:
-            self.table = jnp.asarray(table)
+            # The wavetable must enter jit as a runtime operand, NOT an
+            # embedded constant: with a constant table the XLA TPU
+            # backend compiles the downstream bilinear lookup into a
+            # pathological form (measured 47 ms vs 0.1 ms per 6 s clip
+            # on v5e, and ~5 min compiles; optimization_barrier does not
+            # help). Routing it through a variable collection makes it a
+            # parameter of every jitted caller.
+            self.table = self.variable(
+                "batch_stats", "glottal_table",
+                lambda: jnp.asarray(table)).value
 
     def generate(self, wrapped_phase: Sig, tables: Sig) -> Sig:
         assert wrapped_phase.hop == 1

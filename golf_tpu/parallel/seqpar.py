@@ -768,7 +768,8 @@ def make_sharded_train_fn(task, mesh: Mesh, time_axis: str = "time",
         t_glob = x.shape[1]
         b_glob = x.shape[0]
 
-        def unsharded_decode_len(p, ctrl_p, phase_sig, voicing_sig, key):
+        def unsharded_decode_len(p, bs, ctrl_p, phase_sig, voicing_sig,
+                                 key):
             """Static output length of the UNSHARDED decoder on the global
             shapes (trace-only via eval_shape). The single-device step's
             criterion integrates over exactly this support, so the sharded
@@ -776,18 +777,19 @@ def make_sharded_train_fn(task, mesh: Mesh, time_axis: str = "time",
             alone can overestimate it when a module's unsharded twin
             truncates based on an upstream stage's already-shortened
             output (e.g. the MLSA istft after a frame-OLA noise filter)."""
-            def run(pp, mm, kk):
+            def run(pp, bb, mm, kk):
                 return task.apply(
-                    {"params": pp}, rngs={"noise": kk, "dropout": kk},
+                    {"params": pp, "batch_stats": bb},
+                    rngs={"noise": kk, "dropout": kk},
                     method=lambda m: m.decoder(**mm))
             merged = dict(ctrl_p)
             merged["phase"] = phase_sig
             if voicing_sig is not None:
                 merged["voicing"] = voicing_sig
-            out = jax.eval_shape(run, p, merged, key)
+            out = jax.eval_shape(run, p, bs, merged, key)
             return out.data.shape[1]
 
-        def decode_body(p, ctrl_p, phase_sig, voicing_sig, x_loc,
+        def decode_body(p, bs, ctrl_p, phase_sig, voicing_sig, x_loc,
                         valid0=None):
             env = SeqParEnv(time_axis=time_axis, n_time=n_time,
                             t_global=t_glob, b_global=b_glob,
@@ -799,7 +801,7 @@ def make_sharded_train_fn(task, mesh: Mesh, time_axis: str = "time",
                 if voicing_sig is not None:
                     merged["voicing"] = voicing_sig
                 x_hat = task.apply(
-                    {"params": p},
+                    {"params": p, "batch_stats": bs},
                     rngs={"noise": key, "dropout": key},
                     method=lambda m: m.decoder(**merged))
                 t = min(x_hat.shape[1], x_loc.shape[1])
@@ -831,19 +833,19 @@ def make_sharded_train_fn(task, mesh: Mesh, time_axis: str = "time",
 
             # --- shard_map region: sample-rate decode + sharded MSS ------
             valid0 = unsharded_decode_len(
-                p, ctrl_params, phase_sig, voicing_sig, key)
+                p, bstats, ctrl_params, phase_sig, voicing_sig, key)
             dspec = P(da) if da else P()
             xspec = P(da, time_axis)
             mss = shard_map(
                 lambda *a: decode_body(*a, valid0=valid0), mesh=mesh,
-                in_specs=(P(), dspec, xspec, dspec, xspec),
+                in_specs=(P(), P(), dspec, xspec, dspec, xspec),
                 # check_vma=False: jnp.fft AD mis-types cotangents under
                 # vma tracking (jax 0.9.0); differentiation happens
                 # OUTSIDE this shard_map, so the body is a pure linear
                 # transpose and replication typing is not needed —
                 # P() inputs transpose to psum structurally.
                 out_specs=P(), check_vma=False)(
-                p, ctrl_params, phase_sig, voicing_sig, x)
+                p, bstats, ctrl_params, phase_sig, voicing_sig, x)
 
             aux, metrics = task.aux_losses(
                 f0_hat, voicing_logits, ctrl_params, Sig(f0, 1))

@@ -105,19 +105,23 @@ class GOLFStream:
         the modules' own zero-pad edge handling reproduces the offline
         signal start). Otherwise window = [prev | cur | next], central in
         the middle."""
-        dec, variables = self.decoder, self.variables
+        dec = self.decoder
         c = self.chunk
         central0 = 0 if first else c
         k_os = self.oversampling
         hop = self.hop
         room_l = self.room_len
 
-        def apply(fn, *args):
-            return dec.apply(variables, *args,
-                             rngs={"noise": jax.random.key(0)}, method=fn)
-
-        def step(phase_w, noise_w, tw_rows, nf_rows, gain_rows, lpc_rows,
-                 phase_offset, zi, room_tail):
+        # ``variables`` is a step argument, NOT a closure: closed-over
+        # arrays embed as jit constants, and a constant glottal wavetable
+        # triggers a pathological XLA lowering of the bilinear lookup
+        # (see models/synth.py GlottalFlowTable).
+        def step(variables, phase_w, noise_w, tw_rows, nf_rows, gain_rows,
+                 lpc_rows, phase_offset, zi, room_tail):
+            def apply(fn, *args):
+                return dec.apply(variables, *args,
+                                 rngs={"noise": jax.random.key(0)},
+                                 method=fn)
             # --- harmonic source over the window (module path: wrapped
             # phase integration + wavetable + equal-energy + decimation),
             # continued mid-stream via phase_offset ------------------------
@@ -245,7 +249,7 @@ class GOLFStream:
 
         st = self._state
         audio, zi, room_tail, off = self._steps[first](
-            phase_w, noise_w, tw_w, nf_w, gain_w, lpc_w,
+            self.variables, phase_w, noise_w, tw_w, nf_w, gain_w, lpc_w,
             st["offset"], st["zi"], st["room_tail"])
         self._state = {"offset": off, "zi": zi, "room_tail": room_tail}
         self._emitted += 1

@@ -229,10 +229,12 @@ def _predict(trainer, task, state, datamodule, run_dir, cfg):
     is_vocoder = isinstance(task, DDSPVocoder)
 
     if is_vocoder:
+        # variables as jit argument (constant-wavetable XLA pathology;
+        # see models/synth.py GlottalFlowTable)
         @jax.jit
-        def resynth(frames):
+        def resynth(vs, frames):
             out, _ = task.apply(
-                variables, Sig(frames, 1), rngs=rngs,
+                vs, Sig(frames, 1), rngs=rngs,
                 method=lambda m, *a, **kw: m.predict_step(*a, **kw))
             return out.data
 
@@ -242,7 +244,8 @@ def _predict(trainer, task, state, datamodule, run_dir, cfg):
             # 6 s / 0.3 s-overlap chunked OLA (reference
             # ltng/vocoder.py:350-383)
             audio = chunked_ola_predict(
-                lambda fr: resynth(jnp.asarray(fr)), np.asarray(x), sr)
+                lambda fr: resynth(variables, jnp.asarray(fr)),
+                np.asarray(x), sr)
             writer.write(rel[0] if isinstance(rel, (list, tuple)) else rel,
                          audio)
             continue

@@ -256,10 +256,12 @@ def run_vocoder_test(task, variables, datamodule, sample_rate: int,
     datamodule.setup("test")
     loader = datamodule.test_dataloader()
 
+    # variables as jit argument (constant-wavetable XLA pathology;
+    # see models/synth.py GlottalFlowTable)
     @jax.jit
-    def resynth(x):
+    def resynth(vs, x):
         return task.apply(
-            variables, Sig(x, 1),
+            vs, Sig(x, 1),
             rngs={"noise": jax.random.key(0), "dropout": jax.random.key(0)},
             method=lambda m, xs: m.test_forward(xs)).data
 
@@ -268,7 +270,7 @@ def run_vocoder_test(task, variables, datamodule, sample_rate: int,
     for batch in loader:
         x, f0_in_hz = batch[:2]
         x = np.asarray(x)
-        x_hat = np.asarray(resynth(jnp.asarray(x)))
+        x_hat = np.asarray(resynth(variables, jnp.asarray(x)))
         t = min(x.shape[1], x_hat.shape[1])
         mss = float(criterion(jnp.asarray(x_hat[:, :t]),
                               jnp.asarray(x[:, :t])))

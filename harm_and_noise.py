@@ -75,7 +75,7 @@ def main():
     rngs = {"noise": jax.random.key(3), "dropout": jax.random.key(4)}
 
     @jax.jit
-    def branches(x, f0):
+    def branches(vs, x, f0):
         def body(mdl, x, f0):
             params = mdl.encoder(x, f0=f0)
             params.pop("f0", None)
@@ -91,7 +91,7 @@ def main():
             harm_out = dec.end_filter(harm, *p["end_filter_params"])
             noise_out = dec.end_filter(noise, *p["end_filter_params"])
             return harm_out.data, noise_out.data
-        return task.apply(variables, x, f0, rngs=rngs, method=body)
+        return task.apply(vs, x, f0, rngs=rngs, method=body)
 
     out_dir = pathlib.Path(args.out_dir)
     for i in range(len(ds)):
@@ -107,7 +107,7 @@ def main():
             e = min(s + chunk, t)
             seg[:e - s] = x[s:e]
             fseg[:e - s] = f0[s:e]
-            h, n = branches(Sig(jnp.asarray(seg[None]), 1),
+            h, n = branches(variables, Sig(jnp.asarray(seg[None]), 1),
                             Sig(jnp.asarray(fseg[None]), 1))
             harms.append(np.asarray(h[0]))
             noises.append(np.asarray(n[0]))

@@ -106,7 +106,8 @@ def main():
     jax.block_until_ready(phase)
 
     decoder = instantiate(cfg["model"]["init_args"]["decoder"])
-    dec_vars = {"params": state.params["decoder"]}
+    dec_vars = {"params": state.params["decoder"],
+                "batch_stats": state.batch_stats.get("decoder", {})}
     stream = GOLFStream(decoder, dec_vars, chunk=chunk)
     hop = stream.hop
     rpc, rpt = chunk // hop, chunk // stream.table_hop

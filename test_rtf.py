@@ -97,26 +97,29 @@ def main():
 
     rngs = {"noise": jax.random.key(3), "dropout": jax.random.key(4)}
 
+    # variables are jit ARGUMENTS (closure arrays embed as constants; a
+    # constant glottal wavetable triggers a pathological XLA lowering of
+    # the bilinear lookup — see models/synth.py GlottalFlowTable)
     @jax.jit
-    def analysis(x, f0):
-        return task.apply(variables, x, f0=f0, train=False, rngs=rngs,
+    def analysis(vs, x, f0):
+        return task.apply(vs, x, f0=f0, train=False, rngs=rngs,
                           method=lambda m, *a, **k: m.encoder(*a, **k))
 
-    params = analysis(x, f0)
+    params = analysis(variables, x, f0)
 
     @jax.jit
-    def synthesis(params, phase):
+    def synthesis(vs, params, phase):
         def body(mdl, params, phase):
             p = mdl.decoder.apply_ctrl(params)
             p["phase"] = phase
             return mdl.decoder(**p)
-        return task.apply(variables, params, phase, rngs=rngs, method=body)
+        return task.apply(vs, params, phase, rngs=rngs, method=body)
 
     phase = Sig(jnp.asarray(f0_np) / sr, 1)
     raw = {k: v for k, v in params.items() if k.endswith("_params")}
 
-    t_analysis = bench(analysis, (x, f0), args.num)
-    t_synthesis = bench(synthesis, (raw, phase), args.num)
+    t_analysis = bench(analysis, (variables, x, f0), args.num)
+    t_synthesis = bench(synthesis, (variables, raw, phase), args.num)
 
     print(f"device: {jax.devices()[0]}")
     print(f"analysis : {t_analysis*1000:8.2f} ms  "

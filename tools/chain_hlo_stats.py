@@ -62,12 +62,14 @@ def main():
     variables = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), var_shapes)
 
-    def synth_one(ph, rw):
-        return decoder.apply(variables, ph, rw,
+    def synth_one(vs, ph, rw):
+        # vs as argument, not closure (constant-wavetable XLA pathology;
+        # see models/synth.py GlottalFlowTable)
+        return decoder.apply(vs, ph, rw,
                              rngs={"noise": jax.random.key(2)},
                              method=body).data
 
-    lowered = jax.jit(synth_one).lower(phase, raw)
+    lowered = jax.jit(synth_one).lower(variables, phase, raw)
     txt = lowered.as_text()
     ops = collections.Counter(
         m.group(1) for m in re.finditer(r"= \"?([\w.]+)\"?\(", txt))

@@ -81,8 +81,11 @@ def main():
     variables = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), var_shapes)
 
-    def apply(fn, *args):
-        return decoder.apply(variables, *args,
+    def apply(vs, fn, *args):
+        # vs passed through (not closed over): closure arrays embed as
+        # jit constants, and a constant wavetable triggers a pathological
+        # XLA gather lowering (see models/synth.py GlottalFlowTable).
+        return decoder.apply(vs, *args,
                              rngs={"noise": jax.random.key(2)}, method=fn)
 
     # Stage callables, K-amortized via lax.scan over K *distinct* stacked
@@ -116,55 +119,58 @@ def main():
         return (ts[len(ts) // 2]) / k_amort * 1e3  # ms per iteration
 
     # precompute ctrl + stage inputs (host-side shapes only once)
-    ctrl = jax.jit(lambda rw: apply(
-        lambda m, r_: m.apply_ctrl(r_), rw))(raw)
-    harm = jax.jit(lambda ph, c: apply(
+    ctrl = jax.jit(lambda vs, rw: apply(
+        vs, lambda m, r_: m.apply_ctrl(r_), rw))(variables, raw)
+    harm = jax.jit(lambda vs, ph, c: apply(
+        vs,
         lambda m, p_, c_: m.harm_oscillator(p_, *c_["harm_oscillator_params"]),
-        ph, c))(phase, ctrl)
-    noise = jax.jit(lambda h, c: apply(
+        ph, c))(variables, phase, ctrl)
+    noise = jax.jit(lambda vs, h, c: apply(
+        vs,
         lambda m, h_, c_: m.noise_generator(h_, *c_["noise_generator_params"]),
-        h, c))(harm, ctrl)
-    nf = jax.jit(lambda n, c: apply(
-        lambda m, n_, c_: m.noise_filter(n_, *c_["noise_filter_params"]),
-        n, c))(noise, ctrl)
+        h, c))(variables, harm, ctrl)
+    nf = jax.jit(lambda vs, n, c: apply(
+        vs, lambda m, n_, c_: m.noise_filter(n_, *c_["noise_filter_params"]),
+        n, c))(variables, noise, ctrl)
     tmin = min(harm.data.shape[1], nf.data.shape[1])
     src = Sig(harm.data[:, :tmin] + nf.data[:, :tmin], 1)
-    ef = jax.jit(lambda s, c: apply(
-        lambda m, s_, c_: m.end_filter(s_, *c_["end_filter_params"]),
-        s, c))(src, ctrl)
+    ef = jax.jit(lambda vs, s, c: apply(
+        vs, lambda m, s_, c_: m.end_filter(s_, *c_["end_filter_params"]),
+        s, c))(variables, src, ctrl)
 
     res = {}
     res["ctrl_ms"] = amortize(
-        lambda rw: apply(lambda m, r_: m.apply_ctrl(r_), rw), raw)
+        lambda vs, rw: apply(vs, lambda m, r_: m.apply_ctrl(r_), rw),
+        variables, raw)
     res["harm_source_ms"] = amortize(
-        lambda ph, c: apply(
-            lambda m, p_, c_: m.harm_oscillator(
+        lambda vs, ph, c: apply(
+            vs, lambda m, p_, c_: m.harm_oscillator(
                 p_, *c_["harm_oscillator_params"]).data, ph, c),
-        phase, ctrl)
+        variables, phase, ctrl)
     res["noise_gen_ms"] = amortize(
-        lambda h, c: apply(
-            lambda m, h_, c_: m.noise_generator(
+        lambda vs, h, c: apply(
+            vs, lambda m, h_, c_: m.noise_generator(
                 h_, *c_["noise_generator_params"]).data, h, c),
-        harm, ctrl)
+        variables, harm, ctrl)
     res["noise_filter_ms"] = amortize(
-        lambda n, c: apply(
-            lambda m, n_, c_: m.noise_filter(
+        lambda vs, n, c: apply(
+            vs, lambda m, n_, c_: m.noise_filter(
                 n_, *c_["noise_filter_params"]).data, n, c),
-        noise, ctrl)
+        variables, noise, ctrl)
     res["allpole_ms"] = amortize(
-        lambda s, c: apply(
-            lambda m, s_, c_: m.end_filter(
+        lambda vs, s, c: apply(
+            vs, lambda m, s_, c_: m.end_filter(
                 s_, *c_["end_filter_params"]).data, s, c),
-        src, ctrl)
+        variables, src, ctrl)
     res["room_ms"] = amortize(
-        lambda y, c: apply(
-            lambda m, y_, c_: m.room_filter(
+        lambda vs, y, c: apply(
+            vs, lambda m, y_, c_: m.room_filter(
                 y_, *c_["room_filter_params"]).data, y, c),
-        ef, ctrl)
+        variables, ef, ctrl)
     res["full_chain_ms"] = amortize(
-        lambda ph, rw: apply(
-            lambda m, p_, r_: m(p_, **m.apply_ctrl(r_)).data, ph, rw),
-        phase, raw)
+        lambda vs, ph, rw: apply(
+            vs, lambda m, p_, r_: m(p_, **m.apply_ctrl(r_)).data, ph, rw),
+        variables, phase, raw)
     res["sum_stages_ms"] = round(sum(
         v for k, v in res.items() if k.endswith("_ms")
         and k not in ("full_chain_ms", "sum_stages_ms")), 3)

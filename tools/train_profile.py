@@ -66,11 +66,15 @@ def main():
     opt_state = tx.init(variables["params"])
 
     rngs = {"noise": jax.random.key(3), "dropout": jax.random.key(4)}
+    # aux collections passed as jit args (closure arrays embed as
+    # constants; a constant glottal wavetable triggers a pathological XLA
+    # lowering — see models/synth.py GlottalFlowTable)
+    aux_vars = {k: v for k, v in variables.items() if k != "params"}
 
-    def full_step(params, opt_state, x, f0):
+    def full_step(params, opt_state, aux, x, f0):
         def loss_fn(p):
             out, _ = task.apply(
-                {**variables, "params": p}, Sig(x, 1), Sig(f0, 1),
+                {**aux, "params": p}, Sig(x, 1), Sig(f0, 1),
                 train=True, rngs=rngs,
                 mutable=["stats", "batch_stats"],
                 method=lambda m, *a, **k: m.training_step(*a, **k))
@@ -79,16 +83,16 @@ def main():
         upd, opt2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, upd), opt2, loss
 
-    def fwd_only(params, x, f0):
+    def fwd_only(params, aux, x, f0):
         out, _ = task.apply(
-            {**variables, "params": params}, Sig(x, 1), Sig(f0, 1),
+            {**aux, "params": params}, Sig(x, 1), Sig(f0, 1),
             train=True, rngs=rngs, mutable=["stats", "batch_stats"],
             method=lambda m, *a, **k: m.training_step(*a, **k))
         return out[0]
 
-    def encoder_only(params, x, f0):
+    def encoder_only(params, aux, x, f0):
         out, _ = task.apply(
-            {**variables, "params": params}, Sig(x, 1), Sig(f0, 1), True,
+            {**aux, "params": params}, Sig(x, 1), Sig(f0, 1), True,
             rngs=rngs, mutable=["stats", "batch_stats"],
             method=lambda m, *a, **k: m.prepare_training(*a, **k))
         dec_params, f0_hat, v = out
@@ -101,8 +105,8 @@ def main():
     fns = {
         "full_step": (jax.jit(full_step, donate_argnums=(0, 1)),
                       None),
-        "fwd_only": (jax.jit(fwd_only), (p, x, f0)),
-        "encoder_fwd": (jax.jit(encoder_only), (p, x, f0)),
+        "fwd_only": (jax.jit(fwd_only), (p, aux_vars, x, f0)),
+        "encoder_fwd": (jax.jit(encoder_only), (p, aux_vars, x, f0)),
         "mss_loss": (jax.jit(loss_only), (x, x * 0.9)),
     }
     times = {}
@@ -112,13 +116,14 @@ def main():
             # copies via a non-donating variant
             fn_nd = jax.jit(full_step)
             times[name] = profiling.timed(
-                fn_nd, p, opt_state, x, f0, n=args.n)
+                fn_nd, p, opt_state, aux_vars, x, f0, n=args.n)
         else:
             times[name] = profiling.timed(fn, *a, n=args.n)
 
     flops = None
     try:
-        ca = profiling.cost_analysis(full_step, p, opt_state, x, f0)
+        ca = profiling.cost_analysis(full_step, p, opt_state, aux_vars,
+                                     x, f0)
         flops = ca.get("flops")
     except Exception as e:
         print(f"# cost_analysis failed: {e}", file=sys.stderr)
