@@ -165,6 +165,7 @@ def run(argv: List[str], default_config: Optional[str] = None):
         print(json.dumps(trainer.validate(
             state, datamodule.val_dataloader())))
     elif args.subcommand == "test":
+        from .lpcnet import LPCNetVocoder, run_lpcnet_test
         from .vocoder import DDSPVocoder, run_vocoder_test
         from .world_ae import WORLDAutoEncoder as WAE
         if isinstance(task, WAE):
@@ -180,6 +181,10 @@ def run(argv: List[str], default_config: Optional[str] = None):
                 task, variables, datamodule,
                 mi.get("sample_rate", 24000), mi.get("hop_length", 120),
                 task.criterion)))
+        elif isinstance(task, LPCNetVocoder):
+            variables = {"params": state.params, "stats": state.stats,
+                         "batch_stats": state.batch_stats}
+            print(json.dumps(run_lpcnet_test(task, variables, datamodule)))
         else:
             trainer.test(datamodule, state)
     elif args.subcommand == "predict":

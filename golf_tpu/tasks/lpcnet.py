@@ -169,6 +169,59 @@ class LPCNetVocoder(nn.Module):
         return deemphasis(s_hat, self.alpha)
 
 
+def run_lpcnet_test(task, variables, datamodule,
+                    max_ar_batches: int = 4) -> Dict:
+    """LPCNet test protocol (reference ``ltng/lpcnet.py:285-330``):
+    teacher-forced likelihood over the full test set, plus autoregressive
+    per-sample resynthesis scored with MSS against the input on a capped
+    number of batches (the reference scores AR output with VGGish FAD;
+    pretrained FAD weights cannot enter this image — see fad.py — so the
+    committed row uses MSS over the same AR audio)."""
+    from ..loss.spec import MSSLoss
+
+    datamodule.setup("test")
+    loader = datamodule.test_dataloader()
+    criterion = MSSLoss(n_ffts=[1024, 2048, 512], alpha=1.0,
+                        window="hanning")
+
+    # variables as jit args (constant-operand XLA pathology; see
+    # models/synth.py GlottalFlowTable)
+    @jax.jit
+    def tf_metrics(vs, x, f0, key):
+        _, m = task.apply(
+            vs, Sig(x, 1), Sig(f0, 1), False,
+            rngs={"noise": key, "dropout": key},
+            method=lambda mdl, *a: mdl.training_step(*a))
+        return m
+
+    @jax.jit
+    def ar_generate(vs, x, key):
+        return task.apply(
+            vs, Sig(x, 1), rngs={"noise": key, "dropout": key},
+            method=lambda mdl, xs: mdl.generate(xs))
+
+    totals: Dict[str, float] = {}
+    weight = 0.0
+    ar_mss, ar_weight = 0.0, 0.0
+    key = jax.random.key(1234)
+    for i, batch in enumerate(loader):
+        x, f0 = jnp.asarray(batch[0]), jnp.asarray(batch[1])
+        key, k1, k2 = jax.random.split(key, 3)
+        m = tf_metrics(variables, x, f0, k1)
+        n = x.shape[0]
+        for kk, v in m.items():
+            totals[kk] = totals.get(kk, 0.0) + float(v) * n
+        weight += n
+        if i < max_ar_batches:
+            x_hat = ar_generate(variables, x, k2)
+            t = min(x.shape[1], x_hat.shape[1])
+            ar_mss += float(criterion(x_hat[:, :t], x[:, :t])) * n
+            ar_weight += n
+    out = {("avg_" + k): v / max(weight, 1.0) for k, v in totals.items()}
+    out["avg_ar_mss"] = ar_mss / max(ar_weight, 1.0)
+    return out
+
+
 def build_lpcnet_vocoder(model_cfg: Dict) -> LPCNetVocoder:
     from ..config.registry import instantiate, _listify
     from ..models.mel import Mel2Control

@@ -97,6 +97,35 @@ def test_lpcnet_training_and_generate():
     assert y.shape[0] == 1 and np.all(np.isfinite(np.asarray(y)))
 
 
+def test_lpcnet_test_protocol():
+    """run_lpcnet_test: teacher-forced metrics + AR-MSS over a datamodule
+    (reference ``ltng/lpcnet.py:285-330`` test protocol)."""
+    from golf_tpu.tasks.data import Synthetic
+    from golf_tpu.tasks.lpcnet import build_lpcnet_vocoder, run_lpcnet_test
+    cfg = {
+        "frame_decoder": {"class_path": "models.mel.Mel2Control",
+                          "init_args": {"in_channels": 24,
+                                        "hidden_channels": 32}},
+        "sample_decoder": {"init_args": {"quantization_channels": 64,
+                                         "condition_channels": 64,
+                                         "a_channels": 24, "b_channels": 8}},
+        "feature_trsfm": {"init_args": {"n_fft": 512, "n_mels": 24}},
+        "lpc_order": 8, "quantization_channels": 64,
+        "sample_rate": 24000, "hop_length": 120, "match_lpc": True,
+        "lpc_frame_length": 256,
+    }
+    task = build_lpcnet_vocoder(cfg)
+    dm = Synthetic(batch_size=2, duration=0.2, n_items=8)
+    dm.setup("test")
+    xb, f0b = next(iter(dm.test_dataloader()))
+    variables = task.init(
+        _rngs(), Sig(jnp.asarray(xb), 1), Sig(jnp.asarray(f0b), 1),
+        train=True, method=lambda m, *a, **k: m.training_step(*a, **k))
+    out = run_lpcnet_test(task, variables, dm, max_ar_batches=1)
+    assert {"avg_loss", "avg_ll", "avg_ar_mss"} <= set(out)
+    assert all(np.isfinite(v) for v in out.values()), out
+
+
 def test_world_baseline_roundtrip():
     from golf_tpu.loss.spec import MSSLoss
     from golf_tpu.tasks.world_ae import WORLDAutoEncoder
