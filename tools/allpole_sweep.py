@@ -26,7 +26,7 @@ from golf_tpu.utils.axon_boot import ensure_fixed_session
 ensure_fixed_session("golf-tpu-bench")
 
 
-def timed(fn, *args, n=5, k_amort=8):
+def timed(fn, *args, n=5, k_amort=None):
     """Median per-call time of ``fn(*leaf)`` with the relay dispatch floor
     amortized away: the K calls run inside ONE dispatched executable, as a
     ``lax.scan`` over K DIFFERENT stacked inputs.
@@ -36,9 +36,17 @@ def timed(fn, *args, n=5, k_amort=8):
     XLA CSE, and the loop then times NOTHING — that artifact produced
     physically impossible entries (0.14 ms for a call with >3 GB of HBM
     traffic) in the first recorded table.
+
+    K adapts to the operand footprint (stacked inputs must fit HBM
+    alongside working memory; large shapes don't need amortization anyway
+    because their per-call time dwarfs the dispatch floor).
     """
     import jax
     import jax.numpy as jnp
+
+    if k_amort is None:
+        in_bytes = sum(int(np.prod(a.shape)) * 4 for a in args)
+        k_amort = max(1, min(8, int(2e9 // max(in_bytes, 1))))
 
     stacked = jax.tree_util.tree_map(
         lambda a: jnp.stack([a * (1.0 + 0.01 * i) for i in range(k_amort)]),
@@ -69,6 +77,11 @@ def timed(fn, *args, n=5, k_amort=8):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--grid", choices=("quick", "mid", "full"),
+                    default=None,
+                    help="mid = all batches but order-22 only (order 10 "
+                         "sampled at the serving shape) — half the "
+                         "compile budget of full")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
         "golf_tpu", "ops", "allpole_dispatch.json"))
@@ -86,10 +99,16 @@ def main():
     dev = str(jax.devices()[0])
     entries = []
 
+    grid = args.grid or ("quick" if args.quick else "full")
+
     # time-varying kernel: serving/training shapes
-    if args.quick:
+    if grid == "quick":
         tv_grid = [(1, 144000, 22), (8, 144000, 22),
                    (32, 48000, 22), (64, 48000, 22)]
+    elif grid == "mid":
+        tv_grid = [(b, t, 22)
+                   for b in (1, 4, 16, 32, 64, 128)
+                   for t in (12000, 48000, 144000)] + [(1, 144000, 10)]
     else:
         tv_grid = [(b, t, p)
                    for b in (1, 4, 16, 32, 64, 128)
@@ -118,8 +137,12 @@ def main():
               f"blocked {t_blk:9.3f} ms  -> {win}", flush=True)
 
     # constant-coefficient kernel: frame-path shapes (N = B*frames)
-    if args.quick:
+    if grid == "quick":
         const_grid = [(64, 960, 22), (1024, 960, 22)]
+    elif grid == "mid":
+        const_grid = [(n, w, 22)
+                      for n in (64, 256, 1024, 4096)
+                      for w in (240, 960)]
     else:
         const_grid = [(n, w, p)
                       for n in (64, 256, 1024, 4096)
