@@ -738,8 +738,36 @@ def sss_loss_sharded(pred: jax.Array, target: jax.Array, n_fft: int,
 # (data x time)-mesh training step
 # ---------------------------------------------------------------------------
 
+def pad_to_alignment(x: jax.Array, f0: jax.Array, n_time: int, align: int
+                     ) -> Tuple[jax.Array, jax.Array, int]:
+    """Pad an arbitrary-length (B, T) batch so it can take the sharded
+    step: T -> the next multiple of ``n_time * align``, where ``align`` is
+    the LCM of every frame hop in the model (2400 for the GOLF wavetable
+    hop of 240 * hop_rate 10; the encoder/noise/room hops divide it).
+
+    Audio is zero-padded; f0 is EDGE-padded — a zero-f0 pad run would flip
+    the tail to unvoiced and change the oscillator phase history, whereas
+    a held f0 over silent input only appends deterministic synth output
+    that both the sharded and unsharded steps see identically.
+
+    Returns ``(x_pad, f0_pad, t_orig)``. Shapes are static under jit (T is
+    a trace-time constant), so this is usable both host-side and inside a
+    jitted step. The sharded-step contract on padded input is exact parity
+    with the single-device step ON THE PADDED BATCH
+    (tests/test_seqpar.py::test_seqpar_padded_arbitrary_length_matches).
+    """
+    t = x.shape[1]
+    unit = n_time * align
+    t_pad = -(-t // unit) * unit
+    if t_pad == t:
+        return x, f0, t
+    pw = ((0, 0), (0, t_pad - t))
+    return (jnp.pad(x, pw), jnp.pad(f0, pw, mode="edge"), t)
+
+
 def make_sharded_train_fn(task, mesh: Mesh, time_axis: str = "time",
-                          data_axis: Optional[str] = "data"
+                          data_axis: Optional[str] = "data",
+                          pad_align: Optional[int] = None
                           ) -> Callable:
     """Build a jitted full-model training step over a (data x time) mesh.
 
@@ -759,12 +787,22 @@ def make_sharded_train_fn(task, mesh: Mesh, time_axis: str = "time",
 
     Returns ``fn(params, stats, batch_stats, x, f0, key) ->
     (loss, grads, metrics, mutated)`` operating on GLOBAL (B, T) arrays.
+
+    With ``pad_align`` set (the LCM of the model's frame hops, e.g. 2400
+    for GOLF), arbitrary-length batches are accepted: the step first pads
+    T to the next multiple of ``n_time * pad_align`` via
+    :func:`pad_to_alignment` (zero audio, edge-held f0), then runs the
+    sharded step on the padded batch — exactly equal to the single-device
+    step on that padded batch. Without it, T must already satisfy the
+    per-op ``T_local % hop == 0`` constraints.
     """
     n_time = mesh.shape[time_axis]
     n_data = mesh.shape.get(data_axis, 1) if data_axis else 1
     da = data_axis if (data_axis and n_data > 1) else None
 
     def step(params, stats, bstats, x, f0, key):
+        if pad_align is not None:
+            x, f0, _ = pad_to_alignment(x, f0, n_time, pad_align)
         t_glob = x.shape[1]
         b_glob = x.shape[0]
 
