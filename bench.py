@@ -86,41 +86,54 @@ def main():
     # arrays become embedded constants under jit, and a constant glottal
     # wavetable triggers a pathological XLA lowering of the bilinear
     # lookup (~47 ms vs ~0.1 ms; see models/synth.py GlottalFlowTable).
-    def synth_one(vs, ph, raw):
-        return decoder.apply(vs, ph, raw,
-                             rngs={"noise": jax.random.key(2)},
-                             method=body).data
+    #
+    # Timing is RELAY-HONEST: through the dev relay ``block_until_ready``
+    # can acknowledge at enqueue, so every timed repeat FETCHES a scalar
+    # that data-depends on the full computation (per-clip output sums),
+    # and a per-repeat jitter operand defeats executable/result caching.
+    def synth_one(vs, ph, raw, jitter):
+        y = decoder.apply(vs, Sig(ph.data + jitter, ph.hop), raw,
+                          rngs={"noise": jax.random.key(2)},
+                          method=body).data
+        return jnp.sum(y, dtype=jnp.float32)
 
-    def synth_k(vs, ph, raws):
+    def synth_k(vs, ph, raws, jitter):
         def step(carry, raw):
-            return carry, synth_one(vs, ph, raw)
+            return carry, synth_one(vs, ph, raw, jitter)
         _, ys = jax.lax.scan(step, 0, raws)
         return ys
 
     jit_one = jax.jit(synth_one)
     jit_k = jax.jit(synth_k)
 
-    def timed(fn, *args, n=n_runs):
-        out = fn(*args)
-        jax.block_until_ready(out)
+    def timed(fn, *args, n=n_runs, m_chain=1):
+        """Median wall time of m_chain back-to-back dispatches of
+        ``fn(*args, jitter)`` ending in a host fetch of the last result —
+        in-order device execution makes the last fetch an upper bound on
+        all m_chain executions."""
+        np.asarray(fn(*args, jnp.float32(0.0)))  # warm
         ts = []
-        for _ in range(n):
+        for i in range(1, n + 1):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            outs = [fn(*args, jnp.float32((i * 31 + j) * 1e-9))
+                    for j in range(m_chain)]
+            np.asarray(outs[-1])
             ts.append(time.perf_counter() - t0)
         ts = sorted(ts)
         if len(ts) > 2:
             ts = ts[1:-1]
         return sum(ts) / len(ts)
 
-    t_k = timed(jit_k, variables, phase, raws) / k_clips
-    t_one = timed(jit_one, variables, phase, raw1)
+    # relay dispatch+fetch floor: a trivial cached executable, same fetch
+    # protocol. The dev relay's floor is connection-bimodal
+    # (docs/TPU_NOTES.md) — subtract it where amortization can't.
+    tiny = jax.jit(lambda a: a * 1.0000001 + 1.0)
+    t_floor = timed(tiny, n=9)
 
-    # relay dispatch floor: the time of a trivial cached executable. The
-    # dev relay's floor is session-bimodal (docs/TPU_NOTES.md) — report
-    # it so the single-dispatch number can be read against it.
-    tiny = jax.jit(lambda a: a + 1.0)
-    t_floor = timed(tiny, jnp.float32(1.0), n=5)
+    m_chain = 4  # 4 dispatches x 8 clips = 32 clips per timed fetch
+    t_k = max(timed(jit_k, variables, phase, raws, m_chain=m_chain)
+              - t_floor, 1e-7) / (m_chain * k_clips)
+    t_one = timed(jit_one, variables, phase, raw1)
     t_device = max(t_one - t_floor, 1e-6)
 
     xrt = seconds / t_k
@@ -130,11 +143,12 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 100.0, 3),
     }))
-    print(f"# device={jax.devices()[0]}; steady-state {t_k*1000:.2f} ms "
-          f"per 6 s clip ({t/t_k/1e6:.2f} Msamples/s); single-dispatch "
-          f"latency {t_one*1000:.2f} ms ({seconds/t_one:.1f}x RT) "
-          f"[relay dispatch floor {t_floor*1000:.2f} ms -> "
-          f"floor-corrected {t_device*1000:.2f} ms = "
+    print(f"# device={jax.devices()[0]}; steady-state {t_k*1000:.3f} ms "
+          f"per 6 s clip ({t/t_k/1e6:.2f} Msamples/s), fetch-forced over "
+          f"{m_chain * k_clips} clips; single-dispatch latency "
+          f"{t_one*1000:.2f} ms ({seconds/t_one:.1f}x RT) "
+          f"[relay dispatch+fetch floor {t_floor*1000:.2f} ms -> "
+          f"floor-corrected {t_device*1000:.3f} ms = "
           f"{seconds/t_device:.0f}x RT]",
           file=sys.stderr)
 

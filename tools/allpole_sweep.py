@@ -26,20 +26,47 @@ from golf_tpu.utils.axon_boot import ensure_fixed_session
 ensure_fixed_session("golf-tpu-bench")
 
 
+_FETCH_FLOOR_S = None
+
+
+def _fetch_floor(n: int = 9) -> float:
+    """Median dispatch+fetch round-trip of a trivial cached executable,
+    measured with the SAME protocol as ``timed`` (host fetch of the
+    result). Subtracted from every measurement below."""
+    global _FETCH_FLOOR_S
+    if _FETCH_FLOOR_S is not None:
+        return _FETCH_FLOOR_S
+    import jax
+    import jax.numpy as jnp
+    tiny = jax.jit(lambda a: a * 1.0000001 + 1.0)
+    float(tiny(jnp.float32(0.0)))
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        float(tiny(jnp.float32(i)))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    _FETCH_FLOOR_S = ts[len(ts) // 2]
+    return _FETCH_FLOOR_S
+
+
 def timed(fn, *args, n=5, k_amort=None):
-    """Median per-call time of ``fn(*leaf)`` with the relay dispatch floor
-    amortized away: the K calls run inside ONE dispatched executable, as a
-    ``lax.scan`` over K DIFFERENT stacked inputs.
+    """Median per-call time of ``fn(*leaf)``, relay-honest:
 
-    Feeding K distinct inputs (not the same buffer K times) is essential:
-    a pure call on loop-invariant operands is hoisted out of the scan by
-    XLA CSE, and the loop then times NOTHING — that artifact produced
-    physically impossible entries (0.14 ms for a call with >3 GB of HBM
-    traffic) in the first recorded table.
+    * the K calls run inside ONE dispatched executable, as a ``lax.scan``
+      over K DIFFERENT stacked inputs (a pure call on loop-invariant
+      operands is hoisted out of the scan by XLA CSE and times nothing);
+    * each timed repeat FETCHES the scalar results to the host — through
+      the dev relay ``block_until_ready`` can acknowledge at enqueue, so
+      only a host read of data that depends on the full computation
+      bounds the device time from above (the first recorded table had
+      0.11 ms entries for calls with 1.7 GB of HBM traffic — 15 TB/s on
+      an ~0.8 TB/s part — because nothing was fetched);
+    * a per-repeat jitter operand defeats any executable/result caching;
+    * the trivial dispatch+fetch floor is subtracted.
 
-    K adapts to the operand footprint (stacked inputs must fit HBM
-    alongside working memory; large shapes don't need amortization anyway
-    because their per-call time dwarfs the dispatch floor).
+    K adapts to the operand footprint (stacked inputs must fit HBM;
+    large shapes don't need amortization anyway).
     """
     import jax
     import jax.numpy as jnp
@@ -52,26 +79,27 @@ def timed(fn, *args, n=5, k_amort=None):
         lambda a: jnp.stack([a * (1.0 + 0.01 * i) for i in range(k_amort)]),
         list(args))
 
-    def k_fn(xs):
+    def k_fn(xs, jitter):
         def step(c, leaf):
             # full-sum consumption: forces every output element on both
             # backends (a partial slice would let XLA dead-code-eliminate
             # work from the non-opaque path) while keeping the per-
             # iteration carried output to a scalar
-            return c, jnp.sum(fn(*leaf))
+            return c, jnp.sum(fn(leaf[0] + jitter, *leaf[1:]))
         _, ys = jax.lax.scan(step, 0, xs)
         return ys
 
     jf = jax.jit(k_fn)
-    jax.block_until_ready(jf(stacked))
+    np.asarray(jf(stacked, jnp.float32(0.0)))
+    floor = _fetch_floor()
     ts = []
-    for _ in range(n):
+    for i in range(1, n + 1):
         t0 = time.perf_counter()
-        jax.block_until_ready(jf(stacked))
+        np.asarray(jf(stacked, jnp.float32(i * 1e-7)))
         ts.append(time.perf_counter() - t0)
     ts.sort()
     mid = ts[len(ts) // 2]
-    return mid / k_amort
+    return max(mid - floor, 1e-7) / k_amort
 
 
 def main():
@@ -182,7 +210,10 @@ def main():
 
     out = os.path.abspath(args.out)
     with open(out, "w") as f:
-        json.dump({"device": dev, "entries": entries}, f, indent=1)
+        json.dump({"device": dev,
+                   "fetch_floor_ms": round(_fetch_floor() * 1e3, 4),
+                   "entries": entries}, f, indent=1)
+    print(f"# fetch floor {_fetch_floor()*1e3:.3f} ms", flush=True)
     print(f"# wrote {out} ({len(entries)} entries)", flush=True)
 
 
