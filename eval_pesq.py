@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import pathlib
+import sys
 from multiprocessing import Pool
 
 import numpy as np
@@ -102,6 +103,11 @@ def main():
              "PESQ-proxy(fwSNRseg)")
     print(f"{label}: {scores.mean():.3f} +/- {scores.std():.3f} "
           f"(n={len(scores)})")
+    if not HAS_PESQ and HAS_NATIVE_PESQ:
+        print("# p862-native is rank-calibrated (Spearman 1.0 on every "
+              "battery family) but absolutely lenient on speech-"
+              "modulated noise; compare only against same-pipeline "
+              "baselines (docs/PESQ862.md)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,21 @@ def test_quantization_penalized():
     assert 1.5 < s < 4.4
 
 
+def test_mnru_rank_tracks_anchors():
+    """MNRU (P.810 modulated noise) ladder is perfectly rank-ordered —
+    the calibration battery's quantitative core (docs/PESQ862.md;
+    tools/pesq_battery.py for the full battery + gap analysis)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from pesq_battery import mnru, spearman, speech_like
+    qs = [5, 15, 25, 35, 45]
+    x = speech_like(seconds=3.0, seed=0)
+    scores = [pesq862.pesq(x, mnru(x, q), FS, "wb") for q in qs]
+    assert spearman(scores, qs) >= 0.9, scores
+
+
 def test_narrowband_mode_runs():
     rng = np.random.default_rng(1)
     t = np.arange(FS // 2 * 3) / (FS // 2)
