@@ -37,6 +37,11 @@ def main():
                     help="stream the ENCODER too: windowed recomputation "
                          "with this many frames of context+lookahead "
                          "(0 = offline encoder)")
+    ap.add_argument("--enc_stream", type=int, default=0,
+                    help="stream the encoder EXACTLY-causal "
+                         "(serve/enc_stream.py): forward LSTM state "
+                         "carried, backward truncated to this many "
+                         "lookahead frames (0 = off)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -112,7 +117,83 @@ def main():
     hop = stream.hop
     rpc, rpt = chunk // hop, chunk // stream.table_hop
 
-    if args.enc_context:
+    def ctrl_err_report(win_ctrl, tag):
+        """Max ctrl-row error of per-chunk streamed ctrl vs offline."""
+        errs = []
+        for k in ("harm_oscillator_params", "noise_filter_params",
+                  "end_filter_params"):
+            if k not in ctrl:
+                continue
+            for i, s in enumerate(ctrl[k]):
+                off = np.concatenate(
+                    [np.asarray(w[k][i].data) for w in win_ctrl], axis=1)
+                ref = np.asarray(s.data)[:, :off.shape[1]]
+                e = float(np.abs(off - ref).max()
+                          / (np.abs(ref).max() + 1e-9))
+                errs.append(e)
+                if e > 1e-3:
+                    rowbad = int(np.abs(off - ref).max(
+                        axis=(0,) + tuple(range(2, off.ndim))).argmax())
+                    print(f"#   leaf {k}[{i}] err {e:.3e} at row "
+                          f"{rowbad}/{off.shape[1]}", file=sys.stderr)
+        print(json.dumps({tag: round(max(errs), 8)}), file=sys.stderr)
+
+    if args.enc_stream:
+        # EXACT-CAUSAL encoder streaming: forward conv/LSTM state carried
+        # exactly, only the backward LSTM truncated to L lookahead frames
+        from golf_tpu.serve.enc_stream import StreamingEncoder
+        L = args.enc_stream
+        enc_vars = {"params": state.params["encoder"],
+                    "stats": state.stats.get("encoder", {}),
+                    "batch_stats": state.batch_stats.get("encoder", {})}
+        se = StreamingEncoder(task.encoder, enc_vars, lookahead=L,
+                              batch=1)
+        raw_parts, enc_lat = [], []
+        for c in range(n_chunks):
+            t0 = time.perf_counter()
+            r = se.push(x[:, c * chunk:(c + 1) * chunk],
+                        f0[:, c * chunk:(c + 1) * chunk])
+            enc_lat.append(time.perf_counter() - t0)
+            if r is not None:
+                raw_parts.append(r)
+        r = se.flush()
+        if r is not None:
+            raw_parts.append(r)
+
+        def cat_group(key):
+            g0 = raw_parts[0][key]
+            if isinstance(g0, tuple):
+                return tuple(Sig(np.concatenate(
+                    [np.asarray(p[key][i].data) for p in raw_parts], 1),
+                    g0[i].hop) for i in range(len(g0)))
+            return Sig(np.concatenate(
+                [np.asarray(p[key].data) for p in raw_parts], 1), g0.hop)
+
+        raw_all = {k: cat_group(k) for k in raw_parts[0]
+                   if k.endswith("_params")}
+
+        ctrl_fn = jax.jit(lambda rw: task.apply(
+            variables, rw, method=lambda m, r: m.decoder.apply_ctrl(r)))
+        win_ctrl = []
+        for c in range(n_chunks):
+            rows_c = {k: tuple(Sig(s.data[:, c * rpc:(c + 1) * rpc],
+                                   s.hop) for s in g)
+                      for k, g in raw_all.items()}
+            win_ctrl.append(ctrl_fn(rows_c))
+        med_enc = sorted(enc_lat[2:])[max(len(enc_lat[2:]) // 2, 0)] \
+            if len(enc_lat) > 2 else float("nan")
+        n_rows = next(iter(raw_all.values()))[0].data.shape[1]
+        print(json.dumps({
+            "enc_stream_lookahead_frames": L,
+            "enc_algorithmic_latency_ms": round(
+                (L + se.edge) * hop / sr * 1e3, 1),
+            "enc_median_push_latency_ms": round(med_enc * 1e3, 2),
+            "enc_rows": n_rows}), file=sys.stderr)
+        ctrl_err_report(win_ctrl, "enc_stream_ctrl_rel_err")
+
+        def chunk_ctrl_for(c):
+            return win_ctrl[c]
+    elif args.enc_context:
         # WINDOWED-ENCODER streaming: recompute the (BiLSTM) encoder per
         # chunk on [C frames context | chunk | C frames lookahead] and
         # keep only the central ctrl rows — the trained BiLSTM's memory
@@ -144,25 +225,8 @@ def main():
                 sliced[k] = tuple(outk)
             win_ctrl.append(sliced)
         # max central-row error vs the offline encoder (evidence line)
-        errs = []
-        for k in ("harm_oscillator_params", "noise_filter_params",
-                  "end_filter_params"):
-            for i, s in enumerate(ctrl[k]):
-                per = max(rpc // (s.hop // hop), 1)
-                off = np.concatenate(
-                    [np.asarray(w[k][i].data) for w in win_ctrl], axis=1)
-                ref = np.asarray(s.data)[:, :off.shape[1]]
-                e = float(np.abs(off - ref).max()
-                          / (np.abs(ref).max() + 1e-9))
-                errs.append(e)
-                if e > 1e-3:
-                    rowbad = int(np.abs(off - ref).max(
-                        axis=(0,) + tuple(range(2, off.ndim))).argmax())
-                    print(f"#   leaf {k}[{i}] err {e:.3e} at row "
-                          f"{rowbad}/{off.shape[1]}", file=sys.stderr)
-        print(json.dumps({"enc_context_frames": C,
-                          "windowed_ctrl_rel_err": round(max(errs), 6)}),
-              file=sys.stderr)
+        print(json.dumps({"enc_context_frames": C}), file=sys.stderr)
+        ctrl_err_report(win_ctrl, "windowed_ctrl_rel_err")
 
         def chunk_ctrl_for(c):
             return win_ctrl[c]
