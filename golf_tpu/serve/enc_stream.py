@@ -103,11 +103,17 @@ class StreamingEncoder:
         self._jit_cache: Dict[Tuple, Any] = {}
 
     # ------------------------------------------------------------------
-    def _conv_window(self, x_win: jax.Array, f0_rows: jax.Array
-                     ) -> jax.Array:
+    def _conv_window(self, x_win: jax.Array, f0_rows: jax.Array,
+                     n_keep: Optional[int] = None) -> jax.Array:
         """Offline front on a sample window: (B, S) -> (B, F_win, D).
-        Replicates models/unet.py:118-180 for the streamed config."""
-        key = ("conv", x_win.shape, f0_rows.shape)
+        Replicates models/unet.py:118-180 for the streamed config.
+
+        ``n_keep`` (final window only): offline truncates the spectrogram
+        to the f0 grid BEFORE the conv (models/unet.py:124), so the conv
+        stack's right-edge ZERO padding lands at the truncated length —
+        the final window must truncate at the same global frame or its
+        last ``nc`` rows see real frames where offline saw padding."""
+        key = ("conv", x_win.shape, f0_rows.shape, n_keep)
         if key not in self._jit_cache:
             conv = ConvPyramid(tuple(self.bb.channels),
                                tuple(self.bb.strides), dtype=self.cdtype)
@@ -116,6 +122,8 @@ class StreamingEncoder:
             def fn(p_conv, xw, f0r):
                 spec = stft_ops.spectrogram(
                     xw, self.n_fft, self.hop, power=2.0, center=True)
+                if n_keep is not None:
+                    spec = spec[..., :n_keep]
                 feats = jnp.log(spec[..., None] + 1e-8)
                 feature = (feats - lo) / (hi - lo)
                 h = conv.apply(p_conv, feature, train=False)
@@ -201,7 +209,9 @@ class StreamingEncoder:
         assert s0 % self.hop == 0
         x_win = self._x[:, s0 - self._base: s_total - self._base]
         f0_rows = self._f0[:, s0 - self._base:: self.hop]
-        rows = self._conv_window(jnp.asarray(x_win), jnp.asarray(f0_rows))
+        n_keep = (n_frames - s0 // self.hop) if final else None
+        rows = self._conv_window(jnp.asarray(x_win), jnp.asarray(f0_rows),
+                                 n_keep)
         i0 = a - s0 // self.hop
         i1 = i0 + (hi - a + 1)
         if not final:

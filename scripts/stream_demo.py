@@ -172,14 +172,24 @@ def main():
         raw_all = {k: cat_group(k) for k in raw_parts[0]
                    if k.endswith("_params")}
 
+        # apply_ctrl over the assembled rows, sliced per chunk — the
+        # table-weight Downsampler pools CENTERED windows (k//2 pad), so
+        # a chunk's table row needs ~hop_rate/2 future frame rows; that
+        # lookahead is already covered by the encoder's emission lag
         ctrl_fn = jax.jit(lambda rw: task.apply(
             variables, rw, method=lambda m, r: m.decoder.apply_ctrl(r)))
+        ctrl_all = ctrl_fn(raw_all)
         win_ctrl = []
         for c in range(n_chunks):
-            rows_c = {k: tuple(Sig(s.data[:, c * rpc:(c + 1) * rpc],
-                                   s.hop) for s in g)
-                      for k, g in raw_all.items()}
-            win_ctrl.append(ctrl_fn(rows_c))
+            cc = {}
+            for k, g in ctrl_all.items():
+                outk = []
+                for s in g:
+                    per = max(rpc // max(s.hop // hop, 1), 1)
+                    outk.append(Sig(s.data[:, c * per:(c + 1) * per],
+                                    s.hop))
+                cc[k] = tuple(outk)
+            win_ctrl.append(cc)
         med_enc = sorted(enc_lat[2:])[max(len(enc_lat[2:]) // 2, 0)] \
             if len(enc_lat) > 2 else float("nan")
         n_rows = next(iter(raw_all.values()))[0].data.shape[1]

@@ -44,8 +44,15 @@ def _init(enc, x, f0):
     vs = jax.jit(lambda xs, f0s: enc.init(
         {"params": jax.random.key(0)}, Sig(xs, 1), Sig(f0s, 1),
         train=False))(x, f0)
-    # non-degenerate normalization stats (init leaves inf placeholders)
     vs = dict(vs)
+    # randomize ALL params: the head is zero-initialized by design, so
+    # parity on the init params would be vacuously exact
+    leaves, treedef = jax.tree_util.tree_flatten(vs["params"])
+    r = np.random.default_rng(42)
+    vs["params"] = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(r.standard_normal(
+            l.shape).astype(np.float32) * 0.1) for l in leaves])
+    # non-degenerate normalization stats (init leaves inf placeholders)
     vs["stats"] = {"backbone": {
         "log_spec_min": jnp.asarray(-18.0),
         "log_spec_max": jnp.asarray(2.0)}}
@@ -116,10 +123,13 @@ def test_stream_encoder_parity(num_layers):
         assert got[k].shape == ref[k].shape, (k, got[k].shape,
                                               ref[k].shape)
         scale = np.abs(ref[k]).max() + 1e-9
-        # flushed tail rows are EXACT (same edge padding + bwd init)
+        # flushed tail rows are exact up to fp reassociation: the window
+        # STFT/conv run on different array extents than offline, so XLA
+        # may tile/reassociate differently (observed ~3e-5 after the
+        # LayerNorm+LSTM chain); there is NO truncation error here
         tail = np.abs(got[k][:, n - n_flushed:]
                       - ref[k][:, n - n_flushed:]).max() / scale
-        assert tail < 1e-5, (k, tail)
+        assert tail < 1e-4, (k, tail)
         # mid-stream rows: backward truncation only — small at L=24
         mid = np.abs(got[k] - ref[k]).max() / scale
         assert mid < 2e-2, (k, mid)
