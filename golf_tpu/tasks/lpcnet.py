@@ -173,11 +173,14 @@ def run_lpcnet_test(task, variables, datamodule,
                     max_ar_batches: int = 4) -> Dict:
     """LPCNet test protocol (reference ``ltng/lpcnet.py:285-330``):
     teacher-forced likelihood over the full test set, plus autoregressive
-    per-sample resynthesis scored with MSS against the input on a capped
-    number of batches (the reference scores AR output with VGGish FAD;
-    pretrained FAD weights cannot enter this image — see fad.py — so the
-    committed row uses MSS over the same AR audio)."""
+    per-sample resynthesis scored with MSS and DIO f0-cents MAE against
+    the input on a capped number of batches (the reference also scores AR
+    output with VGGish FAD; pretrained FAD weights cannot enter this
+    image — see fad.py — so the committed row uses MSS over the same AR
+    audio)."""
     from ..loss.spec import MSSLoss
+    from ..ops.dsp import freq2cent
+    from ..utils import native
 
     datamodule.setup("test")
     loader = datamodule.test_dataloader()
@@ -202,7 +205,8 @@ def run_lpcnet_test(task, variables, datamodule,
 
     totals: Dict[str, float] = {}
     weight = 0.0
-    ar_mss, ar_weight = 0.0, 0.0
+    ar_mss, ar_cents, ar_weight = 0.0, 0.0, 0.0
+    sr, hop = task.sample_rate, task.hop_length
     key = jax.random.key(1234)
     for i, batch in enumerate(loader):
         x, f0 = jnp.asarray(batch[0]), jnp.asarray(batch[1])
@@ -216,9 +220,25 @@ def run_lpcnet_test(task, variables, datamodule,
             x_hat = ar_generate(variables, x, k2)
             t = min(x.shape[1], x_hat.shape[1])
             ar_mss += float(criterion(x_hat[:, :t], x[:, :t])) * n
+            # f0-cents MAE of the AR resynthesis (reference protocol:
+            # re-estimate f0 host-side and compare to the dataset track)
+            xh = np.asarray(x_hat)
+            f0_ref = np.asarray(f0)[:, ::hop]
+            cents_b = []
+            for j in range(xh.shape[0]):
+                f0_hat, _ = native.dio(
+                    xh[j].astype(np.float64), sr, f0_floor=65.0,
+                    frame_period=1000 * hop / sr)
+                f = min(len(f0_hat), f0_ref.shape[1])
+                fh = np.maximum(f0_hat[:f], 80)      # unvoiced floor,
+                fr = np.maximum(f0_ref[j, :f], 80)   # as run_vocoder_test
+                cents_b.append(float(np.mean(np.abs(
+                    freq2cent(fh) - freq2cent(fr)))))
+            ar_cents += float(np.mean(cents_b)) * n
             ar_weight += n
     out = {("avg_" + k): v / max(weight, 1.0) for k, v in totals.items()}
     out["avg_ar_mss"] = ar_mss / max(ar_weight, 1.0)
+    out["avg_ar_f0_cents"] = ar_cents / max(ar_weight, 1.0)
     return out
 
 
