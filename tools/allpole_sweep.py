@@ -143,26 +143,46 @@ def main():
                    for t in (12000, 48000, 144000)
                    for p in (10, 22)]
 
+    def flush_table():
+        # write INCREMENTALLY: a crash on a late shape must not lose the
+        # measured entries (the first mid-grid run died at B=128/T=144k
+        # with the table only written at the end)
+        out = os.path.abspath(args.out)
+        with open(out, "w") as f:
+            json.dump({"device": dev,
+                       "fetch_floor_ms": round(_fetch_floor() * 1e3, 4),
+                       "entries": entries}, f, indent=1)
+
     for b, t, p in tv_grid:
-        x = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
-        a = jnp.asarray(
-            (rng.standard_normal((b, t, p)) * 0.02).astype(np.float32))
-        zi = jnp.zeros((b, p), jnp.float32)
-        bs = _choose_block(t)
-        f_blk = jax.jit(lambda x, a, zi: _allpole_blocked(x, a, zi, bs))
-        f_pal = jax.jit(allpole_pallas)
+        if (b * t * (p + 2) * 4) * 2 > 3.0e9:
+            print(f"# skip {(b, t, p)}: operand footprint over budget",
+                  flush=True)
+            continue
         try:
-            t_pal = timed(f_pal, x, a) * 1e3
+            x = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+            a = jnp.asarray(
+                (rng.standard_normal((b, t, p)) * 0.02).astype(np.float32))
+            zi = jnp.zeros((b, p), jnp.float32)
+            bs = _choose_block(t)
+            f_blk = jax.jit(lambda x, a, zi: _allpole_blocked(x, a, zi, bs))
+            f_pal = jax.jit(allpole_pallas)
+            try:
+                t_pal = timed(f_pal, x, a) * 1e3
+            except Exception as e:
+                print(f"# pallas failed at {(b, t, p)}: {e}",
+                      file=sys.stderr)
+                t_pal = float("inf")
+            t_blk = timed(f_blk, x, a, zi) * 1e3
         except Exception as e:
-            print(f"# pallas failed at {(b, t, p)}: {e}", file=sys.stderr)
-            t_pal = float("inf")
-        t_blk = timed(f_blk, x, a, zi) * 1e3
+            print(f"# shape {(b, t, p)} failed: {e}", file=sys.stderr)
+            continue
         win = "pallas" if t_pal < t_blk else "blocked"
         entries.append({"kernel": "tv", "b": b, "t": t, "p": p,
                         "pallas_ms": round(t_pal, 4),
                         "blocked_ms": round(t_blk, 4), "winner": win})
         print(f"tv  B={b:4d} T={t:6d} p={p:2d}  pallas {t_pal:9.3f} ms  "
               f"blocked {t_blk:9.3f} ms  -> {win}", flush=True)
+        flush_table()
 
     # constant-coefficient kernel: frame-path shapes (N = B*frames)
     if grid == "quick":
@@ -207,14 +227,12 @@ def main():
                         "blocked_ms": round(t_blk, 4), "winner": win})
         print(f"cst N={n:4d} W={w:6d} p={p:2d}  pallas {t_pal:9.3f} ms  "
               f"scan    {t_blk:9.3f} ms  -> {win}", flush=True)
+        flush_table()
 
-    out = os.path.abspath(args.out)
-    with open(out, "w") as f:
-        json.dump({"device": dev,
-                   "fetch_floor_ms": round(_fetch_floor() * 1e3, 4),
-                   "entries": entries}, f, indent=1)
+    flush_table()
     print(f"# fetch floor {_fetch_floor()*1e3:.3f} ms", flush=True)
-    print(f"# wrote {out} ({len(entries)} entries)", flush=True)
+    print(f"# wrote {os.path.abspath(args.out)} "
+          f"({len(entries)} entries)", flush=True)
 
 
 if __name__ == "__main__":
