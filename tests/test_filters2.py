@@ -182,3 +182,26 @@ def test_inverse_mode_excitation_domain():
     corr = np.corrcoef(np.asarray(src.data[0, t0:t1]),
                        np.asarray(y_ex.data[0, t0:t1]))[0, 1]
     assert corr > 0.9, corr
+
+
+def test_smooth_fft_size_and_conv_parity(monkeypatch):
+    """5-smooth FFT sizes: correct minimal sizes, and _fft_frame_conv is
+    padding-invariant (same output under GOLF_TPU_FFT_5SMOOTH)."""
+    import numpy as np
+
+    from golf_tpu.models.filters import _fft_frame_conv, _smooth_fft_size
+
+    for n, want in [(1, 1), (2, 2), (3, 3), (7, 8), (1199, 1200),
+                    (1201, 1215), (2049, 2160), (240, 240), (730, 750)]:
+        got = _smooth_fft_size(n)
+        assert got == want, (n, got, want)
+        assert got >= n
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.standard_normal((2, 5, 960)).astype(np.float32))
+    kernels = jnp.asarray(rng.standard_normal((2, 5, 240)).astype(np.float32))
+    ref = np.asarray(_fft_frame_conv(frames, kernels, 240, False))
+    monkeypatch.setenv("GOLF_TPU_FFT_5SMOOTH", "1")
+    got = np.asarray(_fft_frame_conv(frames, kernels, 240, False))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
