@@ -80,32 +80,8 @@ def _overlap_add(frames: jax.Array, window: jax.Array, hop: int,
     return full, norm
 
 
-def _smooth_fft_size(n: int) -> int:
-    """Smallest 5-smooth (2^a 3^b 5^c) integer >= n. XLA TPU FFT handles
-    small-prime sizes natively; a snug 5-smooth size can cut the padded
-    FFT work vs the next power of two (1199 -> 1200 instead of 2048).
-    Gated behind GOLF_TPU_FFT_5SMOOTH until the on-chip probe
-    (tools/fft_size_probe.py) decides the default — if TPU FFT fell back
-    to Bluestein for these sizes it would be a pessimization."""
-    best = 1 << (n - 1).bit_length()
-    p5 = 1
-    while p5 <= best:
-        p35 = p5
-        while p35 <= best:
-            m = p35
-            while m < n:
-                m *= 2
-            best = min(best, m)
-            p35 *= 3
-        p5 *= 5
-    return best
-
-
-def _conv_fft_size(n: int) -> int:
-    import os
-    if os.environ.get("GOLF_TPU_FFT_5SMOOTH"):
-        return _smooth_fft_size(n)
-    return 1 << (n - 1).bit_length()
+from ..ops.fftsize import conv_fft_size as _conv_fft_size
+from ..ops.fftsize import smooth_fft_size as _smooth_fft_size  # noqa: F401 (re-export)
 
 
 def _fft_frame_conv(frames: jax.Array, kernels: jax.Array, hop: int,

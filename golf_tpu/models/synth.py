@@ -14,6 +14,7 @@ TPU-first deviations (math-equivalent):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -68,12 +69,25 @@ def _bilinear_table_lookup(wrapped_phase: jax.Array, tables: jax.Array,
             [tables, jnp.repeat(tables[:, -1:], pad, axis=1)], axis=1)
     else:
         tables = tables[:, : blocks + 1]
-    # wrap-around column for phase interpolation across the period boundary
-    padded = jnp.concatenate([tables, tables[:, :, :1]], axis=2)  # (B,F,S+1)
-
     t_pad = blocks * hop
     ph = jnp.pad(wrapped_phase, ((0, 0), (0, t_pad - t)))
     ph = ph.reshape(b, blocks, hop)
+    if _use_pallas_lookup(hop, s):
+        out = _lookup_blocks(ph, tables[:, :blocks + 1], hop)
+    else:
+        out = _lookup_blocks_jnp(ph, tables, hop)
+    return out.reshape(b, t_pad)[:, :t]
+
+
+def _lookup_blocks_jnp(ph: jax.Array, tables: jax.Array,
+                       hop: int) -> jax.Array:
+    """Gather realization on blocked inputs: ph (B, blocks, hop) in [0,1),
+    tables (B, >=blocks+1, S). Slow on TPU (serial gathers) — the XLA
+    fallback and the VJP rule for the Pallas forward."""
+    blocks = ph.shape[1]
+    s = tables.shape[-1]
+    # wrap-around column for phase interpolation across the period boundary
+    padded = jnp.concatenate([tables, tables[:, :, :1]], axis=2)  # (B,F,S+1)
     col = ph * s                                   # in [0, S)
     c0 = jnp.clip(jnp.floor(col), 0, s - 1).astype(jnp.int32)
     cw = col - c0
@@ -87,9 +101,38 @@ def _bilinear_table_lookup(wrapped_phase: jax.Array, tables: jax.Array,
     v11 = jnp.take_along_axis(tab1, c0 + 1, axis=2)
     top = v00 * (1 - cw) + v01 * cw
     bot = v10 * (1 - cw) + v11 * cw
-    rw = (jnp.arange(hop, dtype=wrapped_phase.dtype) / hop)[None, None, :]
-    out = top * (1 - rw) + bot * rw
-    return out.reshape(b, t_pad)[:, :t]
+    rw = (jnp.arange(hop, dtype=ph.dtype) / hop)[None, None, :]
+    return top * (1 - rw) + bot * rw
+
+
+def _use_pallas_lookup(hop: int, s: int) -> bool:
+    import os
+    if os.environ.get("GOLF_TPU_NO_PALLAS_LOOKUP"):
+        return False
+    if jax.default_backend() in ("cpu",):
+        return False
+    from ..ops.lookup_pallas import lookup_supported
+    return lookup_supported(hop, s)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _lookup_blocks(ph: jax.Array, tables: jax.Array, hop: int) -> jax.Array:
+    from ..ops.lookup_pallas import bilinear_lookup_pallas
+    return bilinear_lookup_pallas(ph, tables, hop)
+
+
+def _lookup_blocks_fwd(ph, tables, hop):
+    return _lookup_blocks(ph, tables, hop), (ph, tables)
+
+
+def _lookup_blocks_bwd(hop, res, g):
+    ph, tables = res
+    _, vjp = jax.vjp(lambda p_, t_: _lookup_blocks_jnp(p_, t_, hop),
+                     ph, tables)
+    return vjp(g)
+
+
+_lookup_blocks.defvjp(_lookup_blocks_fwd, _lookup_blocks_bwd)
 
 
 class GlottalFlowTable(OscillatorInterface):

@@ -1,0 +1,131 @@
+"""Pallas TPU kernel for the blocked bilinear wavetable lookup.
+
+The serving chain's hot spot (22.8 of 32.4 ms per 6 s clip,
+tools/source_profile3.py) is the grid_sample-equivalent lookup in
+``models/synth.py::_bilinear_table_lookup``: four ``take_along_axis``
+gathers over the 2048-wide table axis, which XLA lowers to the slow
+serial gather path (~10 ns/element on v5e).
+
+TPU has no vector gather; the fast formulation is a ONE-HOT MATMUL kept
+entirely in VMEM. Per hop-block every sample interpolates between the
+same two table rows, so each tile handles one (batch, block, lane-tile):
+
+  - build the transposed one-hot  oh[s, i] = (s == floor(phase_i * S))
+    with a broadcasted iota compare (VPU, never touches HBM);
+  - load the block's two table rows, lane-roll by -1 for the wraparound
+    column, stack into a (4, S) matrix M;
+  - vals = M @ oh  on the MXU -> (4, r): the four bilinear corners
+    v00/v01/v10/v11 for the whole tile at once;
+  - combine with the in-block column/row weights on the VPU.
+
+Mosaic block-shape rules (last two dims 8/128-divisible or full) shape
+the tiling: blocks are grouped in EIGHTS on the sublane axis (tab0/tab1
+pre-sliced outside so the f and f+1 rows align per group), and the hop
+axis is zero-padded to a multiple of 128 (padded lanes compute garbage
+that the caller slices off; the rw row weight uses the REAL hop).
+
+Exactness: the one-hot rows select single elements, so the fp32 matmul
+(bf16 3-pass decomposition + fp32 accumulate) reproduces the gathered
+values bit-exactly; the weight combine uses the same expressions as the
+jnp path. The backward pass reuses the jnp formulation's VJP via
+``jax.custom_vjp`` in models/synth.py (training gathers run once per
+step, not per serve — never the bottleneck).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_GROUP = 8      # blocks per tile (sublane-divisibility requirement)
+_MAX_R = 1024   # lane-tile cap: one-hot VMEM = S * r * 4 bytes <= 8 MB
+
+
+def _kernel(ph_ref, tab0_ref, tab1_ref, o_ref, *, s: int, hop: int, r: int):
+    sub = pl.program_id(2)
+    lane0 = (sub * r).astype(jnp.float32)
+    for j in range(_GROUP):
+        ph = ph_ref[0, j, :]                           # (r,)
+        col = ph * s
+        c0f = jnp.clip(jnp.floor(col), 0, s - 1)
+        c0 = c0f.astype(jnp.int32)
+        cw = col - c0f
+
+        tab0 = tab0_ref[0, j, :].reshape(1, s)
+        tab1 = tab1_ref[0, j, :].reshape(1, s)
+        # wraparound: column index c0+1 == S selects table[..., 0]
+        m = jnp.concatenate(
+            [tab0, pltpu.roll(tab0, s - 1, 1),
+             tab1, pltpu.roll(tab1, s - 1, 1)], axis=0)      # (4, S)
+
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (s, r), 0)
+        oh = (iota_s == c0[None, :]).astype(jnp.float32)     # (S, r)
+        vals = jax.lax.dot_general(
+            m, oh, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # (4, r)
+
+        top = vals[0] * (1 - cw) + vals[1] * cw
+        bot = vals[2] * (1 - cw) + vals[3] * cw
+        rw = (lane0 + jax.lax.broadcasted_iota(
+            jnp.int32, (1, r), 1)[0].astype(jnp.float32)) * (1.0 / hop)
+        o_ref[0, j, :] = top * (1 - rw) + bot * rw
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_tile(hop_pad: int) -> int:
+    """Largest 128-multiple divisor of hop_pad, capped at _MAX_R."""
+    best = 0
+    for r in range(128, _MAX_R + 1, 128):
+        if hop_pad % r == 0:
+            best = r
+    return best
+
+
+def lookup_supported(hop: int, s: int) -> bool:
+    return s % 128 == 0 and hop >= 8
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def bilinear_lookup_pallas(ph_blocks: jax.Array, tables: jax.Array,
+                           hop: int, interpret: bool = False) -> jax.Array:
+    """ph_blocks: (B, blocks, hop) wrapped phase in [0,1);
+    tables: (B, blocks+1, S) edge-padded table rows (row f and f+1 bound
+    block f). Returns (B, blocks, hop)."""
+    b, blocks, hop_ = ph_blocks.shape
+    assert hop_ == hop
+    s = tables.shape[-1]
+    assert tables.shape[1] >= blocks + 1, (tables.shape, blocks)
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    hop_pad = _round_up(hop, 128)
+    g_pad = _round_up(blocks, _GROUP)
+    r = _pick_tile(hop_pad)
+    ph = jnp.pad(ph_blocks.astype(jnp.float32),
+                 ((0, 0), (0, g_pad - blocks), (0, hop_pad - hop)))
+    tabs = tables.astype(jnp.float32)
+    tab0 = jnp.pad(tabs[:, :blocks], ((0, 0), (0, g_pad - blocks), (0, 0)))
+    tab1 = jnp.pad(tabs[:, 1:blocks + 1],
+                   ((0, 0), (0, g_pad - blocks), (0, 0)))
+
+    grid = (b, g_pad // _GROUP, hop_pad // r)
+    out = pl.pallas_call(
+        functools.partial(_kernel, s=s, hop=hop, r=r),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _GROUP, r), lambda bi, g, sub: (bi, g, sub)),
+            pl.BlockSpec((1, _GROUP, s), lambda bi, g, sub: (bi, g, 0)),
+            pl.BlockSpec((1, _GROUP, s), lambda bi, g, sub: (bi, g, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _GROUP, r), lambda bi, g, sub: (bi, g, sub)),
+        out_shape=jax.ShapeDtypeStruct((b, g_pad, hop_pad), jnp.float32),
+        interpret=interpret,
+    )(ph, tab0, tab1)
+    return out[:, :blocks, :hop]

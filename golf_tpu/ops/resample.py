@@ -32,11 +32,13 @@ def decimate(x: jax.Array, q: int, kernel: np.ndarray | None = None) -> jax.Arra
     """Anti-aliased decimation by integer factor q. x: (B, T) -> (B, ceil(T/q)).
 
     Matches kazane.Decimate semantics ('same'-padded lowpass then stride).
-    Dispatches to the FFT realization: the direct single-channel strided
-    convolution takes ~500 s to compile on the TPU toolchain (measured)
-    while the rfft/irfft pair compiles in seconds and runs just as fast.
-    """
-    return decimate_fft(x, q, kernel)
+    Dispatches to the polyphase-FFT realization: the direct single-channel
+    strided convolution takes ~500 s to compile on the TPU toolchain
+    (measured), and convolving at the oversampled rate (decimate_fft)
+    wastes a q-times-larger irfft on outputs the stride throws away
+    (pow2 1.58 ms vs polyphase ~0 ms at T=576k/q=4 on v5e,
+    tools/source_profile3.py)."""
+    return decimate_poly_fft(x, q, kernel)
 
 
 def decimate_direct(x: jax.Array, q: int,
@@ -51,6 +53,43 @@ def decimate_direct(x: jax.Array, q: int,
         xp, k[None, None, :], window_strides=(q,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"))
     return out[:, 0, :]
+
+
+def decimate_poly_fft(x: jax.Array, q: int,
+                      kernel: np.ndarray | None = None) -> jax.Array:
+    """Polyphase-FFT decimation, bit-compatible with ``decimate_fft``.
+
+    Rather than convolving at the OVERSAMPLED rate (one rfft/irfft pair
+    of length ~qT) this splits x into its q phases x_p[v] = x[qv+p] and
+    convolves each with the matching kernel phase at the DECIMATED rate:
+    q forward rffts of length ~T and ONE irfft of length ~T, i.e. about
+    half the FFT work and a q-times smaller inverse transform. Exact
+    because out[m] = conv_full[half + m q] = sum_p (x_p * k'_p)[m + Z]
+    with k'_p[u] = k[qu - p] (zero outside [0, taps)), Z = half/q.
+    """
+    if kernel is None:
+        kernel = sinc_kernel(q)
+    kern = np.asarray(kernel, np.float32)
+    taps = kern.shape[0]
+    half = (taps - 1) // 2
+    assert half % q == 0, (half, q)  # sinc_kernel guarantees half = zeros*q
+    z = half // q
+    t = x.shape[-1]
+    out_len = -(-t // q)
+    xp = jnp.pad(x, ((0, 0), (0, out_len * q - t)))
+    xp = xp.reshape(*x.shape[:-1], out_len, q)          # [..., v, p]
+    u = np.arange(2 * z + 1)
+    kk = np.zeros((q, 2 * z + 1), np.float32)
+    for p in range(q):
+        idx = q * u - p
+        valid = (idx >= 0) & (idx < taps)
+        kk[p, valid] = kern[idx[valid]]
+    from .fftsize import conv_fft_size
+    nfft = conv_fft_size(out_len + 2 * z)
+    xf = jnp.fft.rfft(jnp.swapaxes(xp, -1, -2), nfft)   # (B, q, F)
+    kf = jnp.fft.rfft(jnp.asarray(kk, x.dtype), nfft)   # (q, F)
+    conv = jnp.fft.irfft(jnp.sum(xf * kf, axis=-2), nfft)
+    return conv[..., z:z + out_len]
 
 
 def decimate_fft(x: jax.Array, q: int,
