@@ -10,18 +10,72 @@ per-dispatch floor; each clip is computed sequentially (no batching).
 Single-dispatch latency (the reference test_rtf protocol) is reported on
 stderr. North-star target (BASELINE.json): >100x real-time per chip.
 
+Fault tolerance: the TPU relay occasionally ABORTs mid-session (round 3's
+driver capture died on the very first device fetch). Any backend fault
+re-execs this process with a fresh registration (exponential backoff,
+fresh session id after repeated faults), switching to a reduced protocol
+(no floor probe, fewer repeats) after FULL_TRIES failures. The script
+ALWAYS prints one JSON line and exits 0 — a dead environment yields
+value 0.0 with an "error" field rather than a crash.
+
 Prints ONE JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-from golf_tpu.utils.axon_boot import ensure_fixed_session
+FULL_TRIES = 3      # full-protocol attempts before degrading
+MAX_TRIES = 7       # total attempts before giving up (still rc=0)
 
-ensure_fixed_session("golf-tpu-bench")
+_TRY = int(os.environ.get("_GOLF_BENCH_TRY", "0"))
+_REDUCED = _TRY >= FULL_TRIES
+# Keep the cache-keyed session id while the session may just be flaky;
+# switch to a fresh id (forfeiting the persistent compile cache) once the
+# session itself looks poisoned.
+_SESSION = ("golf-tpu-bench" if _TRY < FULL_TRIES
+            else f"golf-tpu-bench-r{_TRY}")
+
+from golf_tpu.utils.axon_boot import ensure_fixed_session  # noqa: E402
+
+ensure_fixed_session(_SESSION)
+
+_FAULT_MARKS = ("ABORTED", "UNAVAILABLE", "INTERNAL", "DEADLINE",
+                "DATA_LOSS", "TPU backend", "Socket closed", "RPC",
+                "FAILED_PRECONDITION", "connection", "Connection")
+
+
+def _is_backend_fault(e: BaseException) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return any(m in s for m in _FAULT_MARKS)
+
+
+def _retry_exec(reason: str) -> None:
+    """Re-exec this process with a fresh axon registration."""
+    nxt = _TRY + 1
+    back = min(2.0 ** nxt, 30.0)
+    print(f"[bench] backend fault (attempt {_TRY}): {reason!r} — "
+          f"re-exec in {back:.0f}s ({nxt}/{MAX_TRIES})", file=sys.stderr)
+    time.sleep(back)
+    env = dict(os.environ)
+    env["_GOLF_BENCH_TRY"] = str(nxt)
+    env.pop("_GOLF_CONN_TRY", None)  # let the floor probe re-run
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+def _give_up(reason: str) -> None:
+    print(json.dumps({
+        "metric": "golf_ss_synthesis_xrt",
+        "value": 0.0,
+        "unit": "x_realtime",
+        "vs_baseline": 0.0,
+        "error": f"TPU backend unrecoverable after {MAX_TRIES} attempts: "
+                 f"{reason[:300]}",
+    }))
+    sys.exit(0)
 
 
 def main():
@@ -35,11 +89,12 @@ def main():
     import jax.numpy as jnp
     from golf_tpu.core.sig import Sig
     from golf_tpu.config.registry import instantiate, load_config
+    from golf_tpu.utils.timing import dispatch_floor, timed_fetch
 
     sr = 24000
     seconds = 6.0
     t = int(sr * seconds)
-    n_runs = 7
+    n_runs = 3 if _REDUCED else 7
     k_clips = 8
     hop = 240
     frames = t // hop + 1
@@ -87,10 +142,9 @@ def main():
     # wavetable triggers a pathological XLA lowering of the bilinear
     # lookup (~47 ms vs ~0.1 ms; see models/synth.py GlottalFlowTable).
     #
-    # Timing is RELAY-HONEST: through the dev relay ``block_until_ready``
-    # can acknowledge at enqueue, so every timed repeat FETCHES a scalar
-    # that data-depends on the full computation (per-clip output sums),
-    # and a per-repeat jitter operand defeats executable/result caching.
+    # Timing is RELAY-HONEST (golf_tpu/utils/timing.py): every timed
+    # repeat FETCHES a scalar that data-depends on the full computation,
+    # jittered per repeat against caching.
     def synth_one(vs, ph, raw, jitter):
         y = decoder.apply(vs, Sig(ph.data + jitter, ph.hop), raw,
                           rngs={"noise": jax.random.key(2)},
@@ -106,43 +160,31 @@ def main():
     jit_one = jax.jit(synth_one)
     jit_k = jax.jit(synth_k)
 
-    def timed(fn, *args, n=n_runs, m_chain=1):
-        """Median wall time of m_chain back-to-back dispatches of
-        ``fn(*args, jitter)`` ending in a host fetch of the last result —
-        in-order device execution makes the last fetch an upper bound on
-        all m_chain executions."""
-        np.asarray(fn(*args, jnp.float32(0.0)))  # warm
-        ts = []
-        for i in range(1, n + 1):
-            t0 = time.perf_counter()
-            outs = [fn(*args, jnp.float32((i * 31 + j) * 1e-9))
-                    for j in range(m_chain)]
-            np.asarray(outs[-1])
-            ts.append(time.perf_counter() - t0)
-        ts = sorted(ts)
-        if len(ts) > 2:
-            ts = ts[1:-1]
-        return sum(ts) / len(ts)
-
     # relay dispatch+fetch floor: a trivial cached executable, same fetch
     # protocol. The dev relay's floor is connection-bimodal
     # (docs/TPU_NOTES.md) — subtract it where amortization can't.
-    tiny = jax.jit(lambda a: a * 1.0000001 + 1.0)
-    t_floor = timed(tiny, n=9)
+    t_floor = 0.0 if _REDUCED else dispatch_floor(n=9)
 
-    m_chain = 4  # 4 dispatches x 8 clips = 32 clips per timed fetch
-    t_k = max(timed(jit_k, variables, phase, raws, m_chain=m_chain)
+    m_chain = 2 if _REDUCED else 4
+    t_k = max(timed_fetch(jit_k, variables, phase, raws,
+                          n=n_runs, m_chain=m_chain)
               - t_floor, 1e-7) / (m_chain * k_clips)
-    t_one = timed(jit_one, variables, phase, raw1)
-    t_device = max(t_one - t_floor, 1e-6)
+    if _REDUCED:
+        t_one = t_device = float("nan")
+    else:
+        t_one = timed_fetch(jit_one, variables, phase, raw1, n=n_runs)
+        t_device = max(t_one - t_floor, 1e-6)
 
     xrt = seconds / t_k
-    print(json.dumps({
+    rec = {
         "metric": "golf_ss_synthesis_xrt",
         "value": round(xrt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 100.0, 3),
-    }))
+    }
+    if _REDUCED:
+        rec["protocol"] = f"reduced(attempt={_TRY})"
+    print(json.dumps(rec))
     print(f"# device={jax.devices()[0]}; steady-state {t_k*1000:.3f} ms "
           f"per 6 s clip ({t/t_k/1e6:.2f} Msamples/s), fetch-forced over "
           f"{m_chain * k_clips} clips; single-dispatch latency "
@@ -154,4 +196,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — never crash the capture
+        if not _is_backend_fault(e):
+            raise
+        if _TRY + 1 >= MAX_TRIES:
+            _give_up(f"{type(e).__name__}: {e}")
+        _retry_exec(f"{type(e).__name__}: {str(e)[:200]}")

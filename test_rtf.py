@@ -12,7 +12,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import time
 
 import numpy as np
 
@@ -21,26 +20,15 @@ ensure_fixed_session("golf-tpu-bench")
 
 
 def bench(fn, args, n: int = 10):
-    """n timed runs, trimmed mean (reference ``test_rtf.py:163-172``)."""
-    out = fn(*args)
-    _block(out)
-    times = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _block(out)
-        times.append(time.perf_counter() - t0)
-    times = sorted(times)
-    if len(times) > 2:
-        times = times[1:-1]
-    return sum(times) / len(times)
-
-
-def _block(tree):
+    """n timed runs, trimmed mean (reference ``test_rtf.py:163-172``),
+    RELAY-HONEST: each repeat fetches a scalar that data-depends on the
+    full output with a jittered operand (through the dev relay,
+    ``block_until_ready`` can acknowledge at enqueue — see
+    golf_tpu/utils/timing.py / docs/BENCH.md "Relay-honest timing")."""
     import jax
-    for leaf in jax.tree_util.tree_leaves(tree):
-        if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
+
+    from golf_tpu.utils.timing import fetch_scalar_wrap, timed_fetch
+    return timed_fetch(jax.jit(fetch_scalar_wrap(fn)), *args, n=n)
 
 
 def main():
@@ -118,16 +106,20 @@ def main():
     phase = Sig(jnp.asarray(f0_np) / sr, 1)
     raw = {k: v for k, v in params.items() if k.endswith("_params")}
 
+    from golf_tpu.utils.timing import dispatch_floor
+    t_floor = dispatch_floor()
     t_analysis = bench(analysis, (variables, x, f0), args.num)
     t_synthesis = bench(synthesis, (variables, raw, phase), args.num)
 
-    print(f"device: {jax.devices()[0]}")
-    print(f"analysis : {t_analysis*1000:8.2f} ms  "
-          f"RTF {t_analysis/args.duration:.5f}  "
-          f"({args.duration/t_analysis:8.1f}x realtime)")
-    print(f"synthesis: {t_synthesis*1000:8.2f} ms  "
-          f"RTF {t_synthesis/args.duration:.5f}  "
-          f"({args.duration/t_synthesis:8.1f}x realtime)")
+    print(f"device: {jax.devices()[0]}  "
+          f"(dispatch+fetch floor {t_floor*1000:.2f} ms)")
+    for name, tt in (("analysis ", t_analysis), ("synthesis", t_synthesis)):
+        td = max(tt - t_floor, 1e-6)  # floor-corrected device time
+        print(f"{name}: {tt*1000:8.2f} ms  "
+              f"RTF {tt/args.duration:.5f}  "
+              f"({args.duration/tt:8.1f}x realtime)  "
+              f"[floor-corrected {td*1000:.2f} ms = "
+              f"{args.duration/td:.0f}x RT]")
 
 
 if __name__ == "__main__":
