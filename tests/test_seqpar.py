@@ -156,23 +156,33 @@ def test_seqpar_golf_ff_ola_matches():
                                    rtol=5e-3, atol=5e-4)
 
 
-def test_seqpar_2d_mesh_runs():
-    """(data=2) x (time=4) mesh: full training step executes with finite
-    loss/grads (batch-norm batch statistics are per-data-shard, like the
-    reference's DDP, so exact parity is only defined per shard)."""
+def test_seqpar_2d_mesh_matches_single_device():
+    """(data=2) x (time=4) mesh: loss AND gradients of the full training
+    step equal the single-device step. Parity holds even with a data axis
+    because the encoder (incl. batch-norm statistics) runs in the GSPMD
+    jit region with GLOBAL batch semantics, and the per-data-shard MSS
+    means pmean to the global batch mean (equal shard sizes)."""
     mesh = make_mesh(data=2, time=4)
     task = build_voice_autoencoder(_tiny_golf_cfg(4))
     b, t = 4, 4 * 2400
     x, f0 = _make_inputs(b, t, seed=3)
     variables = _init_task(task, x, f0)
+    key = jax.random.key(5)
+
+    (loss_ref, _), grads_ref = _unsharded_step(task, variables, x, f0, key)
 
     step = seqpar.make_sharded_train_fn(task, mesh)
     loss, grads, metrics, _ = step(
         variables["params"], variables.get("stats", {}),
-        variables.get("batch_stats", {}), x, f0, jax.random.key(5))
+        variables.get("batch_stats", {}), x, f0, key)
     assert np.isfinite(float(loss))
-    for g in jax.tree_util.tree_leaves(grads):
-        assert np.all(np.isfinite(np.asarray(g)))
+    assert abs(float(loss) - float(loss_ref)) < 1e-3 * max(
+        abs(float(loss_ref)), 1.0), (float(loss), float(loss_ref))
+    for gr, gs in zip(jax.tree_util.tree_leaves(grads_ref),
+                      jax.tree_util.tree_leaves(grads)):
+        gr, gs = np.asarray(gr), np.asarray(gs)
+        denom = np.max(np.abs(gr)) + 1e-12
+        assert np.max(np.abs(gr - gs)) / denom < 1e-4
 
 
 def test_seqpar_padded_arbitrary_length_matches():
