@@ -137,7 +137,13 @@ _lookup_blocks.defvjp(_lookup_blocks_fwd, _lookup_blocks_bwd)
 
 class GlottalFlowTable(OscillatorInterface):
     """Precomputed LF glottal pulse table over a log-spaced Rd grid
-    (reference ``models/synth.py:58-191``)."""
+    (reference ``models/synth.py:58-191``).
+
+    Performance note: the Pallas one-hot-matmul lookup fast path
+    (ops/lookup_pallas.py — the 10x serving win on TPU) requires
+    ``points`` to be a multiple of 128; other values (including this
+    class's reference-compatible default of 1000) silently fall back to
+    the slow XLA gather. Shipped configs set ``points: 2048``."""
 
     table_size: int = 100
     table_type: str = "derivative"

@@ -41,8 +41,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_GROUP = 8      # blocks per tile (sublane-divisibility requirement)
-_MAX_R = 1024   # lane-tile cap: one-hot VMEM = S * r * 4 bytes <= 8 MB
+_GROUP = 8           # blocks per tile (sublane-divisibility requirement)
+_VMEM_BUDGET = 2 ** 23  # 8 MB for the (S, r) one-hot: S * r * 4 bytes
+_MAX_R = 1024        # absolute lane-tile cap (at S=2048 it fills the budget)
 
 
 def _kernel(ph_ref, tab0_ref, tab1_ref, o_ref, *, s: int, hop: int, r: int):
@@ -80,17 +81,23 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_tile(hop_pad: int) -> int:
-    """Largest 128-multiple divisor of hop_pad, capped at _MAX_R."""
+def _pick_tile(hop_pad: int, s: int) -> int:
+    """Largest 128-multiple divisor of hop_pad within the one-hot VMEM
+    budget (S * r * 4 bytes <= _VMEM_BUDGET) and _MAX_R."""
+    r_cap = min(_MAX_R, _VMEM_BUDGET // (4 * s))
     best = 0
-    for r in range(128, _MAX_R + 1, 128):
+    for r in range(128, r_cap + 1, 128):
         if hop_pad % r == 0:
             best = r
     return best
 
 
 def lookup_supported(hop: int, s: int) -> bool:
-    return s % 128 == 0 and hop >= 8
+    # s must divide into 128-lane tiles AND leave room for at least the
+    # minimal r=128 one-hot tile within the VMEM budget (an S >= 16384
+    # table would otherwise pass the gate and overflow VMEM).
+    return (s % 128 == 0 and hop >= 8
+            and 128 <= _VMEM_BUDGET // (4 * s))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -107,7 +114,7 @@ def bilinear_lookup_pallas(ph_blocks: jax.Array, tables: jax.Array,
 
     hop_pad = _round_up(hop, 128)
     g_pad = _round_up(blocks, _GROUP)
-    r = _pick_tile(hop_pad)
+    r = _pick_tile(hop_pad, s)
     ph = jnp.pad(ph_blocks.astype(jnp.float32),
                  ((0, 0), (0, g_pad - blocks), (0, hop_pad - hop)))
     tabs = tables.astype(jnp.float32)

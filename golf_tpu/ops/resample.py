@@ -37,7 +37,11 @@ def decimate(x: jax.Array, q: int, kernel: np.ndarray | None = None) -> jax.Arra
     (measured), and convolving at the oversampled rate (decimate_fft)
     wastes a q-times-larger irfft on outputs the stride throws away
     (pow2 1.58 ms vs polyphase ~0 ms at T=576k/q=4 on v5e,
-    tools/source_profile3.py)."""
+    tools/source_profile3.py). Custom kernels whose half-width is not a
+    multiple of q (the polyphase decomposition's alignment requirement)
+    fall back to the full-rate FFT path."""
+    if kernel is not None and ((np.asarray(kernel).shape[0] - 1) // 2) % q:
+        return decimate_fft(x, q, kernel)
     return decimate_poly_fft(x, q, kernel)
 
 

@@ -175,6 +175,34 @@ def test_decimate_fft_matches_direct():
                                    atol=1e-4)
 
 
+def test_decimate_poly_fft_matches_fft():
+    """The default polyphase-FFT decimator is parity with the full-rate
+    FFT path, including T % q != 0 (ADVICE r3)."""
+    from golf_tpu.ops.resample import decimate_fft, decimate_poly_fft
+    rng = np.random.default_rng(12)
+    for q in (2, 4):
+        for t in (4096, 10001, 3 * 1537):
+            x = rng.standard_normal((2, t)).astype(np.float32)
+            y_fft = np.asarray(decimate_fft(jnp.asarray(x), q))
+            y_poly = np.asarray(decimate_poly_fft(jnp.asarray(x), q))
+            assert y_poly.shape == y_fft.shape == (2, -(-t // q))
+            np.testing.assert_allclose(y_poly, y_fft, atol=2e-5)
+
+
+def test_decimate_custom_kernel_fallback():
+    """decimate() accepts custom kernels whose half-width is not a
+    q-multiple by falling back to the full-rate FFT path (ADVICE r3:
+    the polyphase path's alignment assert must not be the public API)."""
+    from golf_tpu.ops.resample import decimate, decimate_fft
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 5000)).astype(np.float32)
+    kern = np.hanning(31).astype(np.float32)  # half=15, 15 % 4 != 0
+    kern /= kern.sum()
+    y = np.asarray(decimate(jnp.asarray(x), 4, kern))
+    y_ref = np.asarray(decimate_fft(jnp.asarray(x), 4, kern))
+    np.testing.assert_allclose(y, y_ref, atol=1e-6)
+
+
 def test_fft_conv_full_overlap_save():
     from golf_tpu.ops.fftconv import fft_conv_full
     rng = np.random.default_rng(20)
