@@ -47,6 +47,58 @@ class ConvPyramid(nn.Module):
         return x
 
 
+def env_features(spec: jax.Array, f0_d: jax.Array, sample_rate: int,
+                 n_fft: int, num_harmonics: int
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Frame-local harmonic/noise spectral-envelope features (reference
+    ``models/unet.py:163-202``): per frame, sample the power spectrum at
+    harmonic (k*f0) and inter-harmonic ((k+0.5)*f0) pickups and linearly
+    remap them back onto the FFT frequency grid.
+
+    spec: (B, freq, T) power spectrogram already truncated to the f0
+    grid; f0_d: (B, T) frame-rate f0. Returns (feats, snr) with
+    feats (B, freq, T, 3) = [spec, harm_env, noise_env] (linear power)
+    and snr (B, freq, T, 1). Shared by the offline ``UNetEncoder`` and
+    the streaming front (serve/enc_stream.py) so the two stay in exact
+    parity."""
+    spec_t = jnp.swapaxes(spec, 1, 2)      # (B, T, freq)
+    intervals = sample_rate / n_fft
+    freqs = jnp.arange(n_fft // 2 + 1) * intervals
+    f0_full = jnp.where(
+        f0_d > 0, f0_d, sample_rate / 2 / (num_harmonics - 1))
+    pickup = f0_full[..., None] * jnp.arange(
+        0.0, num_harmonics + 1, 0.5)
+    idx = jnp.clip(jnp.round(pickup / intervals).astype(jnp.int32),
+                   0, spec_t.shape[2] - 1)
+    energies = jnp.take_along_axis(spec_t, idx, axis=2)
+    harms_energy = energies[..., ::2]
+    noise_energy = jnp.concatenate(
+        [energies[..., :1], energies[..., 1::2]], axis=-1)
+
+    remap = freqs / f0_full[..., None]
+    lo = jnp.clip(jnp.floor(remap).astype(jnp.int32), 0,
+                  num_harmonics - 2)
+    p = jnp.clip(remap - lo, 0, 1)
+    harm_env = ((1 - p) * jnp.take_along_axis(harms_energy, lo, 2)
+                + p * jnp.take_along_axis(harms_energy, lo + 1, 2))
+
+    remap = (freqs + f0_full[..., None] * 0.5) / f0_full[..., None]
+    lo = jnp.clip(jnp.floor(remap).astype(jnp.int32), 0,
+                  num_harmonics - 2)
+    p = remap - lo
+    p = jnp.where(lo == 0, (p - 0.5) * 2, p)
+    p = jnp.clip(p, 0, 1)
+    noise_env = ((1 - p) * jnp.take_along_axis(noise_energy, lo, 2)
+                 + p * jnp.take_along_axis(noise_energy, lo + 1, 2))
+
+    harm_env = jnp.maximum(harm_env, noise_env)
+    feats = jnp.stack([spec_t, harm_env, noise_env], axis=-1)
+    feats = jnp.swapaxes(feats, 1, 2)      # (B, freq, T, 3)
+    snr = (noise_env / (harm_env + noise_env + 1e-16)) * 2
+    snr = jnp.swapaxes(snr, 1, 2)[..., None]
+    return feats, snr
+
+
 def _strided_max(x: jax.Array, s: int, axis: int) -> jax.Array:
     """Max-pool with window == stride as a reshape-max (strided
     reduce_window is compile-pathological on the TPU toolchain)."""
@@ -124,42 +176,8 @@ class UNetEncoder(BackboneModelInterface):
             spec = spec[..., : f0_d.shape[-1]]
 
         if self.include_env_features and self.f0_conditioning:
-            spec_t = jnp.swapaxes(spec, 1, 2)      # (B, T, freq)
-            intervals = self.sample_rate / self.n_fft
-            freqs = jnp.arange(self.n_fft // 2 + 1) * intervals
-            f0_full = jnp.where(
-                f0_d > 0, f0_d,
-                self.sample_rate / 2 / (self.num_harmonics - 1))
-            pickup = f0_full[..., None] * jnp.arange(
-                0.0, self.num_harmonics + 1, 0.5)
-            idx = jnp.clip(jnp.round(pickup / intervals).astype(jnp.int32),
-                           0, spec_t.shape[2] - 1)
-            energies = jnp.take_along_axis(spec_t, idx, axis=2)
-            harms_energy = energies[..., ::2]
-            noise_energy = jnp.concatenate(
-                [energies[..., :1], energies[..., 1::2]], axis=-1)
-
-            remap = freqs / f0_full[..., None]
-            lo = jnp.clip(jnp.floor(remap).astype(jnp.int32), 0,
-                          self.num_harmonics - 2)
-            p = jnp.clip(remap - lo, 0, 1)
-            harm_env = ((1 - p) * jnp.take_along_axis(harms_energy, lo, 2)
-                        + p * jnp.take_along_axis(harms_energy, lo + 1, 2))
-
-            remap = (freqs + f0_full[..., None] * 0.5) / f0_full[..., None]
-            lo = jnp.clip(jnp.floor(remap).astype(jnp.int32), 0,
-                          self.num_harmonics - 2)
-            p = remap - lo
-            p = jnp.where(lo == 0, (p - 0.5) * 2, p)
-            p = jnp.clip(p, 0, 1)
-            noise_env = ((1 - p) * jnp.take_along_axis(noise_energy, lo, 2)
-                         + p * jnp.take_along_axis(noise_energy, lo + 1, 2))
-
-            harm_env = jnp.maximum(harm_env, noise_env)
-            feats = jnp.stack([spec_t, harm_env, noise_env], axis=-1)
-            feats = jnp.swapaxes(feats, 1, 2)      # (B, freq, T, 3)
-            snr = (noise_env / (harm_env + noise_env + 1e-16)) * 2
-            snr = jnp.swapaxes(snr, 1, 2)[..., None]
+            feats, snr = env_features(spec, f0_d, self.sample_rate,
+                                      self.n_fft, self.num_harmonics)
         else:
             feats = spec[..., None]                # (B, freq, T, 1)
             snr = None

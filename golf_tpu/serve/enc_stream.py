@@ -17,7 +17,19 @@ EXACT forward state and a bounded backward lookahead:
   at the pending-window edge. Offline ``nn.RNN`` also starts from a zero
   carry at the utterance end, so ``flush()`` is exact, and mid-stream
   error decays with the backward forget-gate contraction (measured by
-  :func:`backward_decay`; the demo prints the curve).
+  :func:`backward_decay`; the demo prints the curve);
+* the LRU backbone (``use_lru=True``) streams with ZERO structural
+  lookahead: the diagonal recurrence is causal, so its complex state is
+  carried exactly across chunks and emitted rows are final immediately.
+  The only deviation from offline is the carry-in of the very first
+  chunk — offline predicts it from the utterance's LAST frame
+  (reference ``models/unet.py:69-77``), the stream from its newest
+  buffered frame (``lookahead`` sets how much context the first emission
+  waits for) — and its influence decays as ``|lambda|^t``. A one-push
+  utterance is bit-exact vs offline;
+* the harmonic/noise env-features variant (``include_env_features``)
+  streams too: the features are frame-local, computed by the SAME
+  ``models.unet.env_features`` the offline encoder uses.
 
 Total algorithmic latency: ``lookahead`` frames + the front's receptive
 field (n_conv_layers + ceil((n_fft/2)/hop) frames) — e.g. 24 + 7 frames
@@ -41,7 +53,7 @@ import numpy as np
 from ..core.sig import Sig
 from ..models.ctrl import split_heads
 from ..models.enc import VocoderParameterEncoderInterface
-from ..models.unet import ConvPyramid, UNetEncoder
+from ..models.unet import ConvPyramid, UNetEncoder, env_features
 from ..ops import stft as stft_ops
 
 
@@ -60,9 +72,11 @@ class StreamingEncoder:
                  batch: int = 1):
         backbone = encoder.backbone
         assert isinstance(backbone, UNetEncoder), type(backbone)
-        assert not backbone.use_lru, "LRU streaming: use its zi-predictor"
-        assert not backbone.include_env_features, "env features: offline"
         assert backbone.f0_conditioning
+        self.use_lru = backbone.use_lru
+        self.include_env = backbone.include_env_features
+        self.num_harmonics = backbone.num_harmonics
+        self.sample_rate = backbone.sample_rate
         self.encoder = encoder
         self.bb = backbone
         self.params = enc_variables["params"]
@@ -84,7 +98,10 @@ class StreamingEncoder:
         st = self.stats.get("backbone", {})
         self.lo = np.asarray(st["log_spec_min"])
         self.hi = np.asarray(st["log_spec_max"])
-        self.p_lstm = p_bb["BiLSTM_0"]
+        if self.use_lru:
+            self.p_lru = p_bb["LRUBlock_0"]
+        else:
+            self.p_lstm = p_bb["BiLSTM_0"]
         self.p_ln = p_bb["LayerNorm_0"]
         self.p_out = p_bb["out_linear"]
         self.hidden = backbone.lstm_hidden_size
@@ -98,6 +115,7 @@ class StreamingEncoder:
         self._next_frame = 0          # next conv frame to produce
         self._pending: List[jax.Array] = []  # conv rows awaiting emission
         self._carries = [None] * self.n_layers  # fwd carries at frontier
+        self._lru_states = [None] * self.n_layers  # complex LRU carries
         self._done = False
 
         self._jit_cache: Dict[Tuple, Any] = {}
@@ -122,10 +140,27 @@ class StreamingEncoder:
             def fn(p_conv, xw, f0r):
                 spec = stft_ops.spectrogram(
                     xw, self.n_fft, self.hop, power=2.0, center=True)
-                if n_keep is not None:
-                    spec = spec[..., :n_keep]
-                feats = jnp.log(spec[..., None] + 1e-8)
+                if self.include_env:
+                    # frame-local harmonic/noise envelope features
+                    # (models/unet.py:126-162): truncate spec to the f0
+                    # grid FIRST, exactly like offline — the conv rows
+                    # this shortens fall inside the discarded right edge
+                    n = min(spec.shape[2], f0r.shape[1])
+                    if n_keep is not None:
+                        n = min(n, n_keep)
+                    spec_n = spec[..., :n]
+                    f0_d = f0r[:, :n]
+                    feats, snr = env_features(
+                        spec_n, f0_d, self.sample_rate, self.n_fft,
+                        self.num_harmonics)
+                else:
+                    if n_keep is not None:
+                        spec = spec[..., :n_keep]
+                    feats, snr = spec[..., None], None
+                feats = jnp.log(feats + 1e-8)
                 feature = (feats - lo) / (hi - lo)
+                if snr is not None:
+                    feature = jnp.concatenate([feature, snr], axis=-1)
                 h = conv.apply(p_conv, feature, train=False)
                 b, fr, t, c = h.shape
                 h = jnp.swapaxes(h, 1, 2).reshape(b, t, fr * c)
@@ -169,6 +204,55 @@ class StreamingEncoder:
         return self._jit_cache[key](
             {"cell": self.p_lstm[f"OptimizedLSTMCell_{2 * layer + 1}"]},
             h)
+
+    def _lru_layer(self, layer: int, h: jax.Array, zi):
+        """One LRUBlock layer over a chunk: LayerNorm -> (predicted or
+        carried zi) -> LRU scan -> MLP. Returns (ff_out, last_state).
+
+        Offline (models/unet.py LRUBlock / reference models/unet.py:69-77)
+        predicts the carry-in from the LAST frame of the whole utterance;
+        mid-stream we carry the TRUE recurrence state instead (exact), and
+        only the very first chunk predicts zi from its own newest frame —
+        a deviation that decays as |lambda|^t (and vanishes when the whole
+        utterance arrives in one push)."""
+        from ..models.lru import LRU
+        key = ("lru", layer, h.shape, zi is None)
+        if key not in self._jit_cache:
+            ln = nn.LayerNorm()
+            lru = LRU(self.hidden, self.hidden)
+            d1 = nn.Dense(self.hidden * 4)
+            d2 = nn.Dense(self.hidden)
+
+            def fn(p, hh, zz):
+                hn = ln.apply({"params": p[f"LayerNorm_{layer}"]}, hh)
+                if zz is None:
+                    zz = hn[:, -1, :].astype(jnp.complex64) @ (
+                        p[f"zi_pred_re_{layer}"]
+                        + 1j * p[f"zi_pred_im_{layer}"])
+                y, last = lru.apply({"params": p[f"lru_{layer}"]}, hn, zz)
+                ff = d1.apply({"params": p[f"Dense_{1 + 2 * layer}"]}, y)
+                ff = d2.apply({"params": p[f"Dense_{2 + 2 * layer}"]},
+                              nn.gelu(ff))
+                return ff, last
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](self.p_lru, h, zi)
+
+    def _emit_lru(self, final: bool) -> Optional[jax.Array]:
+        """LRU path: the recurrence is causal, so every pending row is
+        final once emitted; ``lookahead`` only sets how many frames the
+        FIRST emission waits for (zi-prediction context)."""
+        started = self._lru_states[0] is not None
+        if not self._pending:
+            return None
+        if not started and not final and len(self._pending) < self.L + 1:
+            return None
+        h = jnp.stack(self._pending, axis=1).astype(jnp.float32)
+        h = h @ self.p_lru["Dense_0"]["kernel"]        # proj (no bias)
+        for i in range(self.n_layers):
+            h, last = self._lru_layer(i, h, self._lru_states[i])
+            self._lru_states[i] = last
+        self._pending = []
+        return self._head(h)
 
     def _head(self, h: jax.Array) -> jax.Array:
         key = ("head", h.shape)
@@ -290,7 +374,8 @@ class StreamingEncoder:
         self._f0 = np.concatenate(
             [self._f0, np.asarray(f0, np.float32)], 1)
         self._advance_front(final=False)
-        out = self._emit(n_keep=self.L)
+        out = (self._emit_lru(final=False) if self.use_lru
+               else self._emit(n_keep=self.L))
         return self._raw_from_head(out) if out is not None else None
 
     def flush(self) -> Optional[Dict[str, Any]]:
@@ -299,7 +384,8 @@ class StreamingEncoder:
         assert not self._done
         self._done = True
         self._advance_front(final=True)
-        out = self._emit(n_keep=0)
+        out = (self._emit_lru(final=True) if self.use_lru
+               else self._emit(n_keep=0))
         return self._raw_from_head(out) if out is not None else None
 
 

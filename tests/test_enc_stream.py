@@ -17,7 +17,8 @@ from golf_tpu.serve.enc_stream import StreamingEncoder, backward_decay
 from golf_tpu.tasks.ae import build_encoder
 
 
-def _make_encoder(num_layers=2, channels=(8, 16), strides=(4, 4)):
+def _make_encoder(num_layers=2, channels=(8, 16), strides=(4, 4),
+                  **backbone_kwargs):
     split_sizes = ((6,), (4, 3))
     args_keys = ("alpha_params", "beta_params")
     enc = build_encoder(
@@ -27,7 +28,7 @@ def _make_encoder(num_layers=2, channels=(8, 16), strides=(4, 4)):
          "n_fft": 512, "hop_length": 240, "channels": list(channels),
          "strides": list(strides), "lstm_hidden_size": 24,
          "num_layers": num_layers, "dropout": 0.0,
-         "learn_voicing": True, "learn_f0": False},
+         "learn_voicing": True, "learn_f0": False, **backbone_kwargs},
         split_sizes, args_keys)
     return enc
 
@@ -141,6 +142,76 @@ def test_stream_encoder_parity(num_layers):
     worst_8 = max(np.abs(got8[k] - ref[k]).max()
                   / (np.abs(ref[k]).max() + 1e-9) for k in ref)
     assert worst_L <= worst_8 + 1e-9, (worst_L, worst_8)
+
+
+def test_stream_encoder_lru_one_push_exact():
+    """LRU backbone, whole utterance in one push + flush: the zi
+    predictor then sees the utterance's true last frame (exactly like
+    offline, reference models/unet.py:69-77), so every emitted row is
+    exact up to fp reassociation."""
+    enc = _make_encoder(num_layers=2, use_lru=True)
+    x, f0 = _inputs(b=1, t=24000)
+    vs = _init(enc, x, f0)
+    ref = _leaves(_offline_raw(enc, vs, x, f0))
+    # lookahead > total frames: nothing emits on push; flush emits all
+    got, n_flushed = _stream_raw(enc, vs, x, f0, lookahead=10 ** 6,
+                                 chunk=x.shape[1])
+    got = _leaves(got)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k].shape == ref[k].shape, (k, got[k].shape,
+                                              ref[k].shape)
+        scale = np.abs(ref[k]).max() + 1e-9
+        err = np.abs(got[k] - ref[k]).max() / scale
+        assert err < 1e-4, (k, err)
+
+
+def test_stream_encoder_lru_chunked():
+    """Chunked LRU streaming: the recurrence state is carried exactly, so
+    the only deviation is the first chunk's predicted carry-in, whose
+    influence decays as |lambda|^t — later rows must be tighter than the
+    stream's worst row, and everything within a small global bound."""
+    enc = _make_encoder(num_layers=1, use_lru=True)
+    x, f0 = _inputs(b=1, t=24000)
+    vs = _init(enc, x, f0)
+    ref = _leaves(_offline_raw(enc, vs, x, f0))
+    got, _ = _stream_raw(enc, vs, x, f0, lookahead=8)
+    got = _leaves(got)
+    n = ref[next(iter(ref))].shape[1]
+    for k in ref:
+        assert got[k].shape == ref[k].shape
+        scale = np.abs(ref[k]).max() + 1e-9
+        err_rows = np.abs(got[k] - ref[k]).max(
+            axis=tuple(i for i in range(got[k].ndim) if i != 1)) / scale
+        assert err_rows.max() < 2e-2, (k, err_rows.max())
+        # second half strictly tighter than the global worst (decay)
+        assert err_rows[n // 2:].max() <= err_rows.max() + 1e-12
+        assert err_rows[n // 2:].max() < 1e-3, (k, err_rows[n // 2:].max())
+
+
+def test_stream_encoder_env_features():
+    """Env-features variant (include_env_features=True): the
+    harmonic/noise envelopes are frame-local and shared with the offline
+    path (models.unet.env_features), so the flush contract is unchanged."""
+    enc = _make_encoder(num_layers=1, sample_rate=24000,
+                        include_env_features=True, num_harmonics=64)
+    x, f0 = _inputs(b=1, t=24000)
+    vs = _init(enc, x, f0)
+    ref = _leaves(_offline_raw(enc, vs, x, f0))
+    got, n_flushed = _stream_raw(enc, vs, x, f0, lookahead=24)
+    got = _leaves(got)
+    assert set(got) == set(ref)
+    n = ref[next(iter(ref))].shape[1]
+    assert n_flushed > 0
+    for k in ref:
+        assert got[k].shape == ref[k].shape, (k, got[k].shape,
+                                              ref[k].shape)
+        scale = np.abs(ref[k]).max() + 1e-9
+        tail = np.abs(got[k][:, n - n_flushed:]
+                      - ref[k][:, n - n_flushed:]).max() / scale
+        assert tail < 1e-4, (k, tail)
+        mid = np.abs(got[k] - ref[k]).max() / scale
+        assert mid < 2e-2, (k, mid)
 
 
 def test_backward_decay_monotone():
