@@ -184,12 +184,15 @@ def test_inverse_mode_excitation_domain():
     assert corr > 0.9, corr
 
 
-def test_smooth_fft_size_and_conv_parity(monkeypatch):
-    """5-smooth FFT sizes: correct minimal sizes, and _fft_frame_conv is
-    padding-invariant (same output under GOLF_TPU_FFT_5SMOOTH)."""
+def test_fft_size_policies_and_conv_parity(monkeypatch):
+    """FFT size selection: smooth_fft_size minimality, fast_fft_size
+    (the measured default: smallest 2^a * m, m odd part <= 45 — on-chip
+    probe docs/results_r4/fft_size_probe.json), and _fft_frame_conv
+    padding-invariance between the default and forced-pow2 sizes."""
     import numpy as np
 
     from golf_tpu.models.filters import _fft_frame_conv, _smooth_fft_size
+    from golf_tpu.ops.fftsize import fast_fft_size
 
     for n, want in [(1, 1), (2, 2), (3, 3), (7, 8), (1199, 1200),
                     (1201, 1215), (2049, 2160), (240, 240), (730, 750)]:
@@ -197,11 +200,22 @@ def test_smooth_fft_size_and_conv_parity(monkeypatch):
         assert got == want, (n, got, want)
         assert got >= n
 
+    for n, want in [(1, 1), (7, 8), (1199, 1280), (1281, 1440),
+                    (1441, 1536), (2049, 2304), (240, 240), (730, 768)]:
+        got = fast_fft_size(n)
+        assert got == want, (n, got, want)
+        assert got >= n
+        # odd part within the measured-fast family
+        m = got
+        while m % 2 == 0:
+            m //= 2
+        assert m in (1, 3, 5, 9, 15, 45), got
+
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
         rng.standard_normal((2, 5, 960)).astype(np.float32))
     kernels = jnp.asarray(rng.standard_normal((2, 5, 240)).astype(np.float32))
     ref = np.asarray(_fft_frame_conv(frames, kernels, 240, False))
-    monkeypatch.setenv("GOLF_TPU_FFT_5SMOOTH", "1")
+    monkeypatch.setenv("GOLF_TPU_FFT_POW2", "1")
     got = np.asarray(_fft_frame_conv(frames, kernels, 240, False))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
