@@ -51,87 +51,24 @@ class LogMelEmbedding:
         return np.stack(outs)
 
 
-class VGGishEmbedding:
+def make_vggish_embedder(weights_path):
     """Real VGGish (AudioSet) embedder — the reference's FAD embedding
-    (``ltng/lpcnet.py:274-283`` via frechet_audio_distance).
+    (``ltng/lpcnet.py:274-283`` via frechet_audio_distance / fadtk).
 
-    The architecture is implemented here in torch and loads the standard
-    ``torchvggish`` checkpoint (``vggish-*.pth`` state dict) from a LOCAL
-    path — pretrained weights are NOT bundled in this image and cannot be
-    downloaded from it (zero egress), so ``--embedder vggish`` requires
-    ``--weights /path/to/vggish.pth``. Scores with these weights are
-    comparable to published VGGish-FAD numbers; without them use the
-    clearly-labeled log-mel embedder instead.
-    """
-
-    SR = 16000
-
-    def __init__(self, weights_path: str):
-        import torch
-        import torch.nn as nn
-
-        class VGGish(nn.Module):
-            def __init__(self):
-                super().__init__()
-                def block(cin, cout):
-                    return [nn.Conv2d(cin, cout, 3, padding=1),
-                            nn.ReLU(True)]
-                self.features = nn.Sequential(
-                    *block(1, 64), nn.MaxPool2d(2, 2),
-                    *block(64, 128), nn.MaxPool2d(2, 2),
-                    *block(128, 256), *block(256, 256),
-                    nn.MaxPool2d(2, 2),
-                    *block(256, 512), *block(512, 512),
-                    nn.MaxPool2d(2, 2))
-                self.embeddings = nn.Sequential(
-                    nn.Linear(512 * 4 * 6, 4096), nn.ReLU(True),
-                    nn.Linear(4096, 4096), nn.ReLU(True),
-                    nn.Linear(4096, 128), nn.ReLU(True))
-
-            def forward(self, x):
-                x = self.features(x)
-                # (N, 512, 6, 4) -> (N, 4, 6, 512) -> flat, matching the
-                # torchvggish layout
-                x = x.permute(0, 3, 2, 1).contiguous()
-                return self.embeddings(x.view(x.shape[0], -1))
-
-        self.torch = torch
-        self.model = VGGish()
-        sd = torch.load(weights_path, map_location="cpu",
-                        weights_only=True)
-        self.model.load_state_dict(sd)
-        self.model.eval()
-
-    def _log_mel_patches(self, wav: np.ndarray) -> np.ndarray:
-        """0.96 s patches of 96 x 64 log-mel frames (25 ms window, 10 ms
-        hop, 64 mel bands 125-7500 Hz, log(mel + 0.01))."""
-        from golf_tpu.ops.stft import melscale_fbanks
-        n_fft, win, hop = 512, 400, 160
-        n = (len(wav) - win) // hop + 1
-        if n < 96:
-            wav = np.pad(wav, (0, (96 - n) * hop + win))
-            n = 96
-        idx = np.arange(n)[:, None] * hop + np.arange(win)[None, :]
-        frames = wav[idx] * np.hanning(win)
-        spec = np.abs(np.fft.rfft(frames, n_fft)) ** 2
-        fb = melscale_fbanks(n_fft // 2 + 1, 125.0, 7500.0, 64, self.SR)
-        mel = np.log(spec @ fb + 0.01)
-        patches = []
-        for s in range(0, n - 95, 96):
-            patches.append(mel[s:s + 96])
-        return np.stack(patches).astype(np.float32)
-
-    def embed(self, wav: np.ndarray, sr: int) -> np.ndarray:
-        wav = np.asarray(wav, np.float64).reshape(-1)
-        if sr != self.SR:
-            from math import gcd
-            from scipy.signal import resample_poly
-            g = gcd(sr, self.SR)
-            wav = resample_poly(wav, self.SR // g, sr // g)
-        patches = self._log_mel_patches(wav)
-        with self.torch.no_grad():
-            x = self.torch.from_numpy(patches)[:, None]
-            return self.model(x).numpy()
+    The architecture + preprocessing live in ``golf_tpu.models.vggish``
+    (flax, runs on TPU); this loads the standard torchvggish checkpoint
+    (``vggish-*.pth`` state dict) from a LOCAL path. Pretrained weights
+    are NOT bundled in this image and cannot be downloaded from it (zero
+    egress): pass ``--weights random`` for an architecture-only
+    random-init smoke run (scores then NOT comparable)."""
+    from golf_tpu.models.vggish import (VGGishEmbedder,
+                                        params_from_torch_state_dict,
+                                        random_params)
+    if weights_path == "random":
+        return VGGishEmbedder(random_params()), False
+    import torch
+    sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+    return VGGishEmbedder(params_from_torch_state_dict(sd)), True
 
 
 def frechet_distance(mu1, s1, mu2, s2) -> float:
@@ -158,19 +95,25 @@ def main():
     ap.add_argument("--embedder", choices=["logmel", "vggish"],
                     default="logmel")
     ap.add_argument("--weights", default=None,
-                    help="local path to a torchvggish state dict "
+                    help="local path to a torchvggish state dict, or "
+                         "'random' for an architecture-only smoke run "
                          "(required for --embedder vggish)")
     args = ap.parse_args()
 
     if args.embedder == "vggish":
         if not args.weights:
             raise SystemExit(
-                "--embedder vggish needs --weights /path/to/vggish.pth: "
-                "pretrained VGGish weights are not bundled in this image "
-                "and cannot be downloaded from it")
-        emb = VGGishEmbedding(args.weights)
-        print("# embedder: VGGish (scores comparable to published "
-              "VGGish-FAD)")
+                "--embedder vggish needs --weights /path/to/vggish.pth "
+                "(or --weights random for a smoke run): pretrained "
+                "VGGish weights are not bundled in this image and "
+                "cannot be downloaded from it")
+        emb, real = make_vggish_embedder(args.weights)
+        if real:
+            print("# embedder: VGGish (scores comparable to published "
+                  "VGGish-FAD)")
+        else:
+            print("# embedder: VGGish RANDOM-INIT — architecture smoke "
+                  "run only; scores NOT comparable to published FAD")
     else:
         emb = LogMelEmbedding(sr=args.sr)
         print("# embedder: log-mel statistics — NOT comparable to "
