@@ -148,71 +148,3 @@ def allpole_const_pallas(x: jax.Array, a: jax.Array,
         interpret=interpret,
     )(at, xt)
     return jnp.swapaxes(out[:t, :n], 0, 1)
-
-
-def _ring_kernel(x_ref, a_ref, o_ref, state, *, tb: int, p_pad: int):
-    """Ring-buffer variant: coefficients arrive pre-rotated so each step is
-    multiply + sublane-reduce + one dynamic row store (no roll/select)."""
-    j = pl.program_id(0)
-
-    @pl.when(j == 0)
-    def _():
-        state[:] = jnp.zeros_like(state)
-
-    def body(t, _):
-        y = x_ref[t] - jnp.sum(a_ref[t] * state[:], axis=0)
-        o_ref[t, :] = y
-        row = (j * tb + t) % p_pad
-        state[pl.ds(row, 1), :] = y[None, :]
-        return 0
-
-    jax.lax.fori_loop(0, tb, body, 0)
-
-
-def allpole_pallas_ring(x: jax.Array, a: jax.Array, time_block: int = 256,
-                        interpret: bool = False) -> jax.Array:
-    """Time-varying all-pole with ring-buffer state. Same contract as
-    ``allpole_pallas``; ~fewer VPU ops per step.
-
-    The state row for y[t] is t mod p_pad; the coefficient that multiplies
-    state row r at time t is a_i[t] with i = ((t - r - 1) mod p_pad) + 1
-    (zero when i > p). That permutation is applied to the coefficient
-    tensor once, outside the kernel.
-    """
-    b, t = x.shape
-    p = a.shape[-1]
-    b_pad = _round_up(max(b, 1), 128)
-    p_pad = _round_up(max(p, 1), 8)
-    tb = min(time_block, _round_up(t, 8))
-    t_pad = _round_up(t, tb)
-
-    xt = jnp.zeros((t_pad, b_pad), jnp.float32)
-    xt = xt.at[:t, :b].set(jnp.swapaxes(x, 0, 1).astype(jnp.float32))
-
-    # pre-rotate coefficients: A'[t, r] = a[t, ((t - r - 1) mod p_pad)]
-    # masked to the first p real coefficients
-    at = jnp.zeros((t_pad, p_pad, b_pad), jnp.float32)
-    at = at.at[:t, :p, :b].set(
-        jnp.transpose(a, (1, 2, 0)).astype(jnp.float32))
-    tt = jnp.arange(t_pad)[:, None]
-    rr = jnp.arange(p_pad)[None, :]
-    idx = (tt - rr - 1) % p_pad                    # (T, p_pad)
-    aprime = jnp.take_along_axis(at, idx[:, :, None], axis=1)
-
-    grid = (t_pad // tb,)
-    out = pl.pallas_call(
-        functools.partial(_ring_kernel, tb=tb, p_pad=p_pad),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb, b_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, p_pad, b_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tb, b_pad), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, b_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((p_pad, b_pad), jnp.float32)],
-        interpret=interpret,
-    )(xt, aprime)
-    return jnp.swapaxes(out[:t, :b], 0, 1)

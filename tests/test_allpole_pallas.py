@@ -22,20 +22,6 @@ def test_pallas_interpret_matches_scan(b, t, p, tb):
     assert np.abs(y - y_ref).max() / scale < 1e-5
 
 
-@pytest.mark.parametrize("b,t,p", [(3, 500, 5), (2, 130, 22)])
-def test_pallas_ring_matches_scan(b, t, p):
-    from golf_tpu.ops.allpole_pallas import allpole_pallas_ring
-    rng = np.random.default_rng(b * 7 + p)
-    x = rng.standard_normal((b, t)).astype(np.float32)
-    rc = np.tanh(rng.standard_normal((b, t, p)) * 0.2)
-    a = np.asarray(rc2lpc(jnp.asarray(rc)))
-    y_ref = np.asarray(allpole_scan(jnp.asarray(x), jnp.asarray(a)))
-    y = np.asarray(allpole_pallas_ring(jnp.asarray(x), jnp.asarray(a),
-                                       time_block=64, interpret=True))
-    scale = np.abs(y_ref).max() + 1e-9
-    assert np.abs(y - y_ref).max() / scale < 1e-5
-
-
 def test_pallas_const_matches_scan():
     from golf_tpu.ops.allpole_pallas import allpole_const_pallas
     rng = np.random.default_rng(5)
