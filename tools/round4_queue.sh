@@ -30,10 +30,26 @@ snap() {  # snap <name> <files...>
 }
 
 wait_relay() {
-  until timeout 240 python -c "import jax; print(jax.devices())" \
-        >/dev/null 2>&1; do
+  # gate on actual COMPUTE liveness: the relay's metadata service can
+  # answer jax.devices() while its compile/execute service is down
+  until timeout 300 python tools/relay_probe.py >/dev/null 2>&1; do
+    log "relay compute still down"
     sleep 120
   done
+}
+
+try_run() {  # try_run <run_dir_to_clean_on_retry> <cmd...>
+  # TPU relay faults (ABORTED/FAILED_PRECONDITION) can kill a step at
+  # its first dispatch; retry with a relay poll between attempts and a
+  # clean run_dir (partial state is cheaper to redo than to debug).
+  local rd=$1; shift
+  for i in $(seq 1 12); do
+    "$@" && return 0
+    log "attempt $i failed: $*"
+    [ -n "$rd" ] && rm -rf "$rd"
+    sleep 60; wait_relay
+  done
+  return 1
 }
 
 log "polling relay"; wait_relay; log "relay up"
@@ -50,10 +66,11 @@ fi
 # ---- 1. golf_ff anchor ------------------------------------------------------
 if [ ! -e runs/r4/golf_ff/ckpt/last ]; then
   log "fit golf_ff (4.7k steps)"
-  timeout 9000 python autoencode.py fit $MID \
+  try_run runs/r4/golf_ff \
+      timeout 9000 python autoencode.py fit $MID \
       --model cfg/ae/decoder/golf.yaml \
       trainer.max_steps=4700 trainer.check_val_every_n_steps=500 \
-      --run_dir runs/r4/golf_ff > runs/r4/golf_ff.fit.log 2>&1
+      --run_dir runs/r4/golf_ff >> runs/r4/golf_ff.fit.log 2>&1
 fi
 [ -e runs/r4/golf_ff/ckpt/last ] || { log "golf_ff FAILED, abort"; exit 1; }
 if [ ! -e runs/r4/golf_ff.test.log ]; then
@@ -79,25 +96,27 @@ fi
 # ---- 3. ss finetune variants (3500 steps each) ------------------------------
 if [ ! -e runs/r4/ss_gentle/ckpt/last ]; then
   log "ss variant A: gentle (lr=1e-6 clip=0.1 cap=0.98)"
-  timeout 6000 python autoencode.py fit $MID \
+  try_run runs/r4/ss_gentle \
+      timeout 6000 python autoencode.py fit $MID \
       --model cfg/ae/decoder/golf-precise-stable.yaml \
       trainer.max_steps=3500 trainer.check_val_every_n_steps=500 \
       trainer.gradient_clip_val=0.1 \
       optimizer.init_args.lr=0.000001 \
       model.init_args.coef_smooth_weight=0.1 \
       ckpt_params_only=true ckpt_path=runs/r4/golf_ff/ckpt/last \
-      --run_dir runs/r4/ss_gentle > runs/r4/ss_gentle.fit.log 2>&1
+      --run_dir runs/r4/ss_gentle >> runs/r4/ss_gentle.fit.log 2>&1
   snap ss_gentle runs/r4/ss_gentle.fit.log
 fi
 if [ ! -e runs/r4/ss_cap95/ckpt/last ]; then
   log "ss variant B: cap95 (lr=5e-6 clip=0.5 cap=0.95)"
-  timeout 6000 python autoencode.py fit $MID \
+  try_run runs/r4/ss_cap95 \
+      timeout 6000 python autoencode.py fit $MID \
       --model cfg/ae/decoder/golf-precise-stable95.yaml \
       trainer.max_steps=3500 trainer.check_val_every_n_steps=500 \
       optimizer.init_args.lr=0.000005 \
       model.init_args.coef_smooth_weight=0.1 \
       ckpt_params_only=true ckpt_path=runs/r4/golf_ff/ckpt/last \
-      --run_dir runs/r4/ss_cap95 > runs/r4/ss_cap95.fit.log 2>&1
+      --run_dir runs/r4/ss_cap95 >> runs/r4/ss_cap95.fit.log 2>&1
   snap ss_cap95 runs/r4/ss_cap95.fit.log
 fi
 
@@ -115,11 +134,12 @@ fi
 log "winner: $WIN"
 if [ ! -e runs/r4/ss_final/ckpt/last ]; then
   log "extend $WIN to 10k steps"
-  timeout 9000 python autoencode.py fit $MID --model $WMODEL \
+  try_run runs/r4/ss_final \
+      timeout 9000 python autoencode.py fit $MID --model $WMODEL \
       trainer.max_steps=10000 trainer.check_val_every_n_steps=500 \
       $WEXTRA model.init_args.coef_smooth_weight=0.1 \
       ckpt_path=runs/r4/$WIN/ckpt/last \
-      --run_dir runs/r4/ss_final > runs/r4/ss_final.fit.log 2>&1
+      --run_dir runs/r4/ss_final >> runs/r4/ss_final.fit.log 2>&1
   snap ss_final runs/r4/ss_final.fit.log
 fi
 
