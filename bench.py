@@ -45,12 +45,30 @@ ensure_fixed_session(_SESSION)
 
 _FAULT_MARKS = ("ABORTED", "UNAVAILABLE", "INTERNAL", "DEADLINE",
                 "DATA_LOSS", "TPU backend", "Socket closed", "RPC",
-                "FAILED_PRECONDITION", "connection", "Connection")
+                "FAILED_PRECONDITION", "connection", "Connection",
+                "watchdog")
 
 
 def _is_backend_fault(e: BaseException) -> bool:
     s = f"{type(e).__name__}: {e}"
     return any(m in s for m in _FAULT_MARKS)
+
+
+def _arm_watchdog(seconds: int) -> None:
+    """The relay can HANG a dispatch indefinitely (compute service down
+    while the metadata service still answers — observed 2026-08-20, and
+    the round-3 driver capture died on the same fault class). A hung
+    bench is as empty a record as a crashed one, so every attempt is
+    bounded: on expiry the alarm raises, the fault handler re-execs with
+    a fresh registration, and the final fallback still prints JSON."""
+    import signal
+
+    def on_alarm(signum, frame):
+        raise TimeoutError(
+            f"watchdog: no progress within {seconds}s (hung relay?)")
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
 
 
 def _retry_exec(reason: str) -> None:
@@ -79,6 +97,9 @@ def _give_up(reason: str) -> None:
 
 
 def main():
+    # generous first-attempt budget (cold remote compiles take minutes);
+    # tighter once we're retrying a flaky backend
+    _arm_watchdog(900 if _TRY == 0 else 600)
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_comp_cache")
@@ -174,6 +195,9 @@ def main():
     else:
         t_one = timed_fetch(jit_one, variables, phase, raw1, n=n_runs)
         t_device = max(t_one - t_floor, 1e-6)
+
+    import signal
+    signal.alarm(0)  # measurements done; never interrupt the JSON print
 
     xrt = seconds / t_k
     rec = {
