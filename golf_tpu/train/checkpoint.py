@@ -15,6 +15,7 @@ import shutil
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -72,12 +73,24 @@ class CheckpointManager:
         """Model-variables-only restore (fresh optimizer state and step
         counter) — the frame-wise->sample-wise finetune path: restore a
         GOLF-ff checkpoint's params into the converted ss model
-        (reference README.md:92-94 convert2samplewise flow)."""
-        target = self._state_dict(state)
-        restored = self.ckptr.restore(os.path.abspath(path), target)
-        state.params = restored["params"]
-        state.stats = restored["stats"]
-        state.batch_stats = restored["batch_stats"]
+        (reference README.md:92-94 convert2samplewise flow).
+
+        Template-FREE restore, then subset: a params-only restore must
+        not depend on the checkpoint's optimizer layout (an Adam-trained
+        ckpt restored into an SGD finetune has a mismatched opt_state
+        template and orbax refuses the strict restore)."""
+        restored = self.ckptr.restore(os.path.abspath(path))
+        for key, cur in (("params", state.params), ("stats", state.stats),
+                         ("batch_stats", state.batch_stats)):
+            got = restored.get(key)
+            if got is None:
+                continue
+            cur_leaves = jax.tree_util.tree_leaves(cur)
+            got_leaves = jax.tree_util.tree_leaves(got)
+            assert len(cur_leaves) == len(got_leaves), (
+                key, len(cur_leaves), len(got_leaves))
+            setattr(state, key, jax.tree_util.tree_map(
+                lambda c, g: jnp.asarray(g, c.dtype), cur, got))
         return state
 
     def restore_into(self, path: str, state):
