@@ -217,7 +217,10 @@ def _restore_state(trainer, datamodule, ckpt_path):
     batch = next(iter(loader))
     state = trainer.init_state(batch)
     if ckpt_path:
-        state = trainer.ckpt.restore_into(ckpt_path, state)
+        # eval never uses optimizer state: restore model variables only,
+        # so checkpoints saved under a DIFFERENT optimizer (e.g. the SGD
+        # sample-wise finetune) restore cleanly into test/validate/predict
+        state = trainer.ckpt.restore_params_into(ckpt_path, state)
     return state
 
 
