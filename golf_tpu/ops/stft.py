@@ -34,52 +34,6 @@ def frame_signal(x: jax.Array, frame_length: int, hop: int,
     return x[..., idx]
 
 
-def _odd_part(n: int) -> int:
-    while n % 2 == 0:
-        n //= 2
-    return n
-
-
-def _rfft_bluestein(frames: jax.Array, n: int) -> jax.Array:
-    """Exact length-n rfft via Bluestein's chirp-z identity, with the
-    linear convolution done at a MEASURED-FAST FFT size (ops/fftsize.py)
-    instead of whatever XLA picks internally for awkward n.
-
-    The reference MSS criterion uses PRIME n_fft (509/1021/2053,
-    cfg/ae/vctk.yaml) — sizes the on-chip probe class shows hit a slow
-    Bluestein-style lowering in XLA TPU FFT. Identity (j,k < n):
-        X_j = e^{-i pi j^2/n} * sum_k (x_k e^{-i pi k^2/n})
-                                 * e^{+i pi (j-k)^2/n}
-    i.e. a chirp-premultiply, a linear convolution with the conjugate
-    chirp, and a chirp-postmultiply — exact to fp rounding.
-    Gated behind GOLF_TPU_BLUESTEIN until the on-chip probe decides.
-    """
-    from .fftsize import fast_fft_size
-    m = fast_fft_size(2 * n - 1)
-    k = np.arange(n)
-    # e^{-i pi k^2 / n}; k^2 mod 2n keeps the argument small and exact
-    chirp = np.exp(-1j * np.pi * ((k * k) % (2 * n)) / n).astype(
-        np.complex64)
-    # conjugate-chirp kernel on support [-(n-1), n-1], wrapped mod m
-    idx = np.concatenate([np.arange(n), np.arange(-(n - 1), 0)])
-    b = np.zeros(m, np.complex64)
-    b[np.mod(idx, m)] = np.exp(
-        1j * np.pi * ((idx * idx) % (2 * n)) / n)
-    bf = np.fft.fft(b).astype(np.complex64)
-
-    a = frames.astype(jnp.complex64) * jnp.asarray(chirp)
-    conv = jnp.fft.ifft(jnp.fft.fft(a, m, axis=-1)
-                        * jnp.asarray(bf), axis=-1)[..., :n]
-    full = conv * jnp.asarray(chirp)
-    return full[..., : n // 2 + 1]
-
-
-def _use_bluestein(n: int) -> bool:
-    import os
-    return (bool(os.environ.get("GOLF_TPU_BLUESTEIN"))
-            and _odd_part(n) > 45)
-
-
 def stft(x: jax.Array, n_fft: int, hop_length: int,
          win_length: Optional[int] = None, window: str = "hann",
          center: bool = True, onesided: bool = True,
@@ -92,10 +46,12 @@ def stft(x: jax.Array, n_fft: int, hop_length: int,
     frames = frame_signal(x, n_fft, hop_length, center, pad_mode)
     frames = frames * jnp.asarray(w, x.dtype)
     if onesided:
-        if _use_bluestein(n_fft):
-            spec = _rfft_bluestein(frames, n_fft)
-        else:
-            spec = jnp.fft.rfft(frames, axis=-1)
+        # the reference MSS criterion's PRIME n_fft (509/1021/2053) are
+        # handled natively and FAST by XLA TPU FFT (on-chip probe
+        # docs/results_r4/bluestein_probe.json: 509 -> 0.36 ms vs 3.46 ms
+        # for a hand-rolled chirp-z with fast conv sizes — the
+        # alternative lost 4-10x at every size and was deleted)
+        spec = jnp.fft.rfft(frames, axis=-1)
     else:
         spec = jnp.fft.fft(frames, axis=-1)
     return jnp.swapaxes(spec, -1, -2)

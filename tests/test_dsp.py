@@ -240,37 +240,3 @@ def test_wrapped_cumsum_matches_fp64_mod1():
         jnp.sin(2 * np.pi * 3 * wrapped_cumsum(z))))(
         jnp.asarray(xl[:, :480]))
     assert bool(jnp.isfinite(g).all())
-
-
-def test_stft_bluestein_parity(monkeypatch):
-    """GOLF_TPU_BLUESTEIN=1 routes awkward (odd-part>45) n_fft through
-    the chirp-z realization with measured-fast conv sizes; outputs and
-    gradients match the default path at the reference MSS prime sizes."""
-    import jax
-
-    from golf_tpu.ops import stft as stft_ops
-
-    rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
-    for n_fft in (509, 1021):
-        ref = np.asarray(stft_ops.spectrogram(x, n_fft, n_fft // 4))
-        monkeypatch.setenv("GOLF_TPU_BLUESTEIN", "1")
-        got = np.asarray(stft_ops.spectrogram(x, n_fft, n_fft // 4))
-        monkeypatch.delenv("GOLF_TPU_BLUESTEIN")
-        scale = np.abs(ref).max()
-        assert np.abs(got - ref).max() / scale < 1e-5
-
-    # gradient parity through the spectrogram
-    def loss(xx, flag):
-        if flag:
-            import os
-            os.environ["GOLF_TPU_BLUESTEIN"] = "1"
-        try:
-            return jnp.sum(stft_ops.spectrogram(xx, 509, 127))
-        finally:
-            import os
-            os.environ.pop("GOLF_TPU_BLUESTEIN", None)
-    g_ref = np.asarray(jax.grad(lambda xx: loss(xx, False))(x))
-    g_blu = np.asarray(jax.grad(lambda xx: loss(xx, True))(x))
-    assert np.abs(g_blu - g_ref).max() / (np.abs(g_ref).max() + 1e-9) \
-        < 1e-5
