@@ -75,8 +75,6 @@ def _kernel(ph_ref, tab0_ref, tab1_ref, o_ref, *, s: int, hop: int, r: int):
         rw = (lane0 + jax.lax.broadcasted_iota(
             jnp.int32, (1, r), 1)[0].astype(jnp.float32)) * (1.0 / hop)
         o_ref[0, j, :] = top * (1 - rw) + bot * rw
-
-
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -122,6 +120,11 @@ def bilinear_lookup_pallas(ph_blocks: jax.Array, tables: jax.Array,
     tab1 = jnp.pad(tabs[:, 1:blocks + 1],
                    ((0, 0), (0, g_pad - blocks), (0, 0)))
 
+    # A weighted-one-hot variant (interp weights inside the one-hot, 2 LHS
+    # rows instead of 4) was measured SLOWER on-chip (3.21 vs 2.39 ms at
+    # the bench shape, docs/results_r4/lookup_variant_probe.json): the
+    # kernel is VPU-bound on the one-hot build, not MXU-bound, so the
+    # halved dot does not pay for the second iota compare. Deleted.
     grid = (b, g_pad // _GROUP, hop_pad // r)
     out = pl.pallas_call(
         functools.partial(_kernel, s=s, hop=hop, r=r),
