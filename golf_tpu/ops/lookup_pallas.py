@@ -75,6 +75,8 @@ def _kernel(ph_ref, tab0_ref, tab1_ref, o_ref, *, s: int, hop: int, r: int):
         rw = (lane0 + jax.lax.broadcasted_iota(
             jnp.int32, (1, r), 1)[0].astype(jnp.float32)) * (1.0 / hop)
         o_ref[0, j, :] = top * (1 - rw) + bot * rw
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
