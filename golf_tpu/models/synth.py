@@ -127,6 +127,14 @@ def _lookup_blocks_fwd(ph, tables, hop):
 
 def _lookup_blocks_bwd(hop, res, g):
     ph, tables = res
+    from ..ops.lookup_pallas import bilinear_lookup_pallas_bwd, \
+        bwd_supported
+    if _use_pallas_lookup(hop, tables.shape[-1]) and \
+            bwd_supported(hop, tables.shape[-1]):
+        # Pallas adjoint (transposed one-hot matmuls): the jnp-vjp
+        # fallback replays the SLOW XLA gather forward (~500 ms at the
+        # B=32 training shape vs ~30 ms — docs/BENCH.md round 4)
+        return bilinear_lookup_pallas_bwd(ph, tables, g, hop)
     _, vjp = jax.vjp(lambda p_, t_: _lookup_blocks_jnp(p_, t_, hop),
                      ph, tables)
     return vjp(g)

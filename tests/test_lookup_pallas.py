@@ -70,3 +70,30 @@ def test_module_path_routes_and_matches(monkeypatch):
     out = _bilinear_table_lookup(ph, tabs, hop)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-6, rtol=0)
+
+
+def test_bwd_kernel_matches_jnp_vjp():
+    """Pallas adjoint (bilinear_lookup_pallas_bwd) == the jnp gather
+    formulation's VJP, incl. the wraparound column and the multi-lane-
+    tile accumulation path (s=8192 -> r=256 -> 2 tiles per block)."""
+    import jax
+
+    from golf_tpu.models.synth import _lookup_blocks_jnp
+    from golf_tpu.ops.lookup_pallas import bilinear_lookup_pallas_bwd
+
+    rng = np.random.default_rng(0)
+    for (b, blocks, hop, s) in [(2, 7, 384, 256), (1, 3, 512, 8192)]:
+        ph = jnp.asarray(rng.random((b, blocks, hop), np.float32))
+        ph = ph.at[:, :, :8].set(jnp.asarray(1.0 - 1e-4, jnp.float32))
+        tabs = jnp.asarray(
+            rng.standard_normal((b, blocks + 1, s)).astype(np.float32))
+        g = jnp.asarray(
+            rng.standard_normal((b, blocks, hop)).astype(np.float32))
+        _, vjp = jax.vjp(
+            lambda p_, t_: _lookup_blocks_jnp(p_, t_, hop), ph, tabs)
+        dph_ref, dt_ref = vjp(g)
+        dph, dt = bilinear_lookup_pallas_bwd(ph, tabs, g, hop, True)
+        for got, ref in ((dph, dph_ref), (dt, dt_ref)):
+            err = (np.abs(np.asarray(got - ref)).max()
+                   / (np.abs(np.asarray(ref)).max() + 1e-9))
+            assert err < 1e-5, (b, blocks, hop, s, err)
