@@ -22,16 +22,32 @@ from .dsp import get_window_fn
 
 def frame_signal(x: jax.Array, frame_length: int, hop: int,
                  center: bool = True, pad_mode: str = "reflect") -> jax.Array:
-    """(..., T) -> (..., F, frame_length), torch.stft framing."""
+    """(..., T) -> (..., F, frame_length), torch.stft framing.
+
+    GATHER-FREE: fancy-indexing the frame matrix lowers to XLA's serial
+    gather on TPU (and its backward to scatter-add) — measured as the
+    bulk of the 38 ms MSS-loss forward at the training shape. Instead,
+    blockify x at the hop and build each frame from q = n//hop shifted
+    block views plus a remainder column slice: frame i, position
+    k*hop + t  is  block[i+k, t], so
+        frames = concat([blk[k:k+F] for k in 0..q-1] + [blk[q:q+F,:rem]])
+    — pure slices/concat (transpose: pad+add), identical elements.
+    """
     if center:
         pad = frame_length // 2
         cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
         x = jnp.pad(x, cfg, mode=pad_mode)
     t = x.shape[-1]
     n_frames = 1 + (t - frame_length) // hop
-    idx = (jnp.arange(n_frames)[:, None] * hop
-           + jnp.arange(frame_length)[None, :])
-    return x[..., idx]
+    q, rem = divmod(frame_length, hop)
+    lead = x.shape[:-1]
+    rows = n_frames + q
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, rows * hop - t)])
+    blk = x.reshape(*lead, rows, hop)
+    parts = [blk[..., k:k + n_frames, :] for k in range(q)]
+    if rem:
+        parts.append(blk[..., q:q + n_frames, :rem])
+    return jnp.concatenate(parts, axis=-1)
 
 
 def stft(x: jax.Array, n_fft: int, hop_length: int,
