@@ -44,7 +44,8 @@ def main():
     from golf_tpu.core.sig import Sig
     from golf_tpu.config.registry import load_config, deep_update
     from golf_tpu.tasks.ae import build_voice_autoencoder
-    from golf_tpu.utils.timing import timed_fetch, fetch_scalar_wrap
+    from golf_tpu.utils.timing import (timed_fetch, fetch_scalar_wrap,
+                                       dispatch_floor)
 
     b, t = args.batch, int(args.seconds * 24000)
     cfg = load_config("cfg/ae/vctk.yaml")["model"]["init_args"]
@@ -156,8 +157,10 @@ def main():
     def delta(hi, lo):
         return round(ms[hi] - ms[lo], 1) if hi in ms and lo in ms else None
 
+    floor_ms = round(dispatch_floor() * 1e3, 1)
     report = {
         "batch": b, "samples_per_step": b * t,
+        "dispatch_floor_ms": floor_ms,
         **ms,
         "opt_ms": delta("full_step", "step_fwdbwd"),
         "enc_bwd_ms": delta("enc_fwdbwd", "enc_fwd"),
