@@ -73,16 +73,23 @@ class FusedLSTMDir(nn.Module):
         b = jnp.concatenate(bias, axis=-1)          # (4H,)
         dt = self.dtype
         if dt is not None:
-            x, w_i, w_h, b = (a.astype(dt) for a in (x, w_i, w_h, b))
+            x, w_i, w_h = (a.astype(dt) for a in (x, w_i, w_h))
 
         xw = jnp.einsum("btc,cg->btg", x, w_i)      # hoisted: one matmul
         xw = jnp.swapaxes(xw, 0, 1)                 # (T, B, 4H)
         bsz = x.shape[0]
-        c0 = jnp.zeros((bsz, h_feat), xw.dtype)
+        # The carry stays fp32 even under a bf16 compute dtype: flax's
+        # OptimizedLSTMCell keeps c in fp32 (bf16 gates * fp32 c promotes),
+        # and c accumulates sub-ulp increments over T that bf16 drops. Only
+        # the h fed to the recurrent matmul is cast down; gate arithmetic
+        # happens in fp32 (b is fp32, xw_t promotes).
+        c0 = jnp.zeros((bsz, h_feat), jnp.float32)
 
         def step(carry, xw_t):
             c, h = carry
-            gates = (h @ w_h + b) + xw_t
+            hm = h if dt is None else h.astype(dt)
+            gates = (hm @ w_h).astype(jnp.float32) + b \
+                + xw_t.astype(jnp.float32)
             i_, f_, g_, o_ = jnp.split(gates, 4, axis=-1)
             i_ = jax.nn.sigmoid(i_)
             f_ = jax.nn.sigmoid(f_)
@@ -92,6 +99,8 @@ class FusedLSTMDir(nn.Module):
             h2 = o_ * jnp.tanh(c2)
             return (c2, h2), h2
 
+        # h2 stays fp32 (flax returns o*tanh(new_c) promoted to fp32 too);
+        # the next layer casts back down at its own input projection.
         _, ys = jax.lax.scan(step, (c0, c0), xw,
                              reverse=self.reverse, unroll=self.unroll)
         return jnp.swapaxes(ys, 0, 1)               # (B, T, H)

@@ -122,6 +122,34 @@ def test_golf_param_layout():
     assert sizes == ((64,), (), (256,), (1, 22), ())
 
 
+def test_golf_yaml_window_interpolation():
+    """The shipped golf.yaml uses ``${...}`` for the end_filter window
+    exactly as the reference does (cfg/ae/decoder/golf.yaml): one edit
+    site, and an override of the noise_filter window must propagate."""
+    import os
+    from golf_tpu.config.registry import load_config
+    cfg = load_config("cfg/ae/decoder/golf.yaml")
+    ef = cfg["decoder"]["init_args"]["end_filter"]["init_args"]
+    assert ef["window"] == "hanning"  # reference resolved value
+    cfg2 = load_config(
+        "cfg/ae/decoder/golf.yaml",
+        overrides=["decoder.init_args.noise_filter.init_args."
+                   "window=blackman"])
+    ef2 = cfg2["decoder"]["init_args"]["end_filter"]["init_args"]
+    assert ef2["window"] == "blackman"  # interpolation, not a copy
+    # our resolver applied to the reference's own YAML must produce the
+    # identical resolved decoder tree (modulo the class-path prefix)
+    ref = "/root/reference/cfg/ae/decoder/golf.yaml"
+    if os.path.exists(ref):
+        def strip(node):
+            if isinstance(node, dict):
+                return {k: strip(v) for k, v in node.items()}
+            if isinstance(node, str):
+                return node.replace("golf_tpu.models.", "models.")
+            return node
+        assert strip(load_config(ref)) == strip(cfg)
+
+
 def test_ddsp_param_layout():
     from golf_tpu.config.registry import load_config, instantiate
     cfg = load_config("cfg/ae/decoder/ddsp.yaml")

@@ -91,6 +91,44 @@ def test_lstm_matches_flax_rnn():
                                atol=1e-5, rtol=1e-5)
 
 
+class _RefBiLSTMBf16(nn.Module):
+    """flax oracle for the bf16 compute path (params fp32, dtype=bf16)."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size,
+                                          dtype=jnp.bfloat16), name="fwd_0")
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size,
+                                          dtype=jnp.bfloat16), name="bwd_0",
+                     reverse=True, keep_order=True)
+        return jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+
+
+def test_bilstm_bf16_matches_flax():
+    """The production bf16 compute config (unet/mel backbones) must track
+    flax's promotion semantics: carry c stays fp32, only h is cast for the
+    recurrent matmul. A long sequence amplifies any bf16 carry drift."""
+    x = jax.random.normal(jax.random.key(7), (2, 200, 12))
+    fused = BiLSTM(hidden_size=16, dtype=jnp.bfloat16)
+    ref = _RefBiLSTMBf16(hidden_size=16)
+    vf = fused.init(jax.random.key(0), x)
+    vr = ref.init(jax.random.key(0), x)
+    for (_, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(vf["params"]),
+            jax.tree_util.tree_leaves_with_path(vr["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    yf = np.asarray(fused.apply(vf, x), np.float32)
+    yr = np.asarray(ref.apply(vr, x), np.float32)
+    assert yf.dtype == yr.dtype == np.float32
+    # both are bf16 compute paths; small matmul-order differences remain
+    np.testing.assert_allclose(yf, yr, atol=5e-3)
+    # and the bf16 path must stay close to full fp32 (carry kept fp32)
+    y32 = np.asarray(BiLSTM(hidden_size=16).apply(vf, x))
+    assert np.abs(yf - y32).max() < 3e-2
+
+
 def test_bilstm_grads_flow():
     x = jax.random.normal(jax.random.key(4), (2, 9, 4))
     m = BiLSTM(hidden_size=6, num_layers=2)
