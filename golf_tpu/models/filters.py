@@ -102,10 +102,7 @@ def _fft_frame_conv(frames: jax.Array, kernels: jax.Array, hop: int,
     return conv[..., k - 1:k - 1 + hop]
 
 
-def _unfold(x: jax.Array, size: int, step: int) -> jax.Array:
-    n_frames = (x.shape[-1] - size) // step + 1
-    idx = jnp.arange(n_frames)[:, None] * step + jnp.arange(size)[None, :]
-    return x[..., idx]
+from ..ops.dsp import unfold as _unfold  # gather-free sliding windows
 
 
 # ---------------------------------------------------------------------------

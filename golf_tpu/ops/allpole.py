@@ -329,9 +329,13 @@ def _allpole_const_fwd(x, a):
 def _allpole_const_bwd(res, g):
     y, a = res
     p = a.shape[-1]
+    t = y.shape[1]
     # constant coefficients: transposed system == same coeffs, reversed time
     dx = jnp.flip(_allpole_const_impl(jnp.flip(g, 1), a), 1)
-    da = -jnp.einsum("nt,ntp->np", dx, _delayed_stack(y, p))
+    # da[:, j] = -sum_t dx[:, t] * y[:, t-j-1]: p shifted dots, avoiding
+    # the (N, T, p) delayed-stack intermediate (0.5 GB at training shape)
+    da = -jnp.stack([jnp.sum(dx[:, j + 1:] * y[:, :t - j - 1], axis=1)
+                     for j in range(p)], axis=-1)
     return dx, da
 
 
@@ -363,8 +367,10 @@ def lfilter(x: jax.Array, a_coeffs: jax.Array,
     b = b_coeffs / a0
     a = a_coeffs[1:] / a0
     k = b.shape[0]
-    xp = jnp.pad(x, ((0, 0), (k - 1, 0)))
-    idx = jnp.arange(x.shape[1])[:, None] + jnp.arange(k)[None, :]
-    fir_out = jnp.einsum("btk,k->bt", xp[:, idx], jnp.flip(b))
+    xp = jnp.pad(x, ((0, 0), (k - 1, 0)))[:, None, :]
+    # constant FIR as a conv (no (T, K) gather / scatter-add backward)
+    fir_out = jax.lax.conv_general_dilated(
+        xp, jnp.flip(b)[None, None, :], (1,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
     a_b = jnp.broadcast_to(a, (x.shape[0], a.shape[0]))
     return allpole_const(fir_out, a_b)

@@ -83,18 +83,54 @@ def get_window_fn(window: str = "hann") -> Callable[[int], np.ndarray]:
 # ``models/utils.py:433-441``): causal per-sample time-varying FIR.
 # ---------------------------------------------------------------------------
 
+def unfold(x: jax.Array, size: int, step: int) -> jax.Array:
+    """Sliding windows (..., T) -> (..., F, size), GATHER-FREE.
+
+    Fancy-index framing lowers to XLA's serial gather on TPU and its
+    backward to scatter-add (the round-4 MSS-framing finding,
+    ``ops/stft.py::frame_signal``). Blockify x at the step and build each
+    window from ``q = ceil(size/step)`` shifted block views — pure
+    slices + concat, whose transpose is pads + adds.
+    """
+    t = x.shape[-1]
+    n_frames = (t - size) // step + 1
+    q, rem = divmod(size, step)
+    rows = n_frames + q
+    target = rows * step
+    lead = x.shape[:-1]
+    if target >= t:
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, target - t)])
+    else:
+        # windows never read past (n_frames-1)*step + size - 1 < target
+        x = x[..., :target]
+    blk = x.reshape(*lead, rows, step)
+    parts = [blk[..., k:k + n_frames, :] for k in range(q)]
+    if rem:
+        parts.append(blk[..., q:q + n_frames, :rem])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
 def fir_filt(x: jax.Array, h: jax.Array) -> jax.Array:
     """y[n] = sum_k h[n, k] * x[n - (K-1) + k]  — i.e. h is flipped like the
     reference: ``h.flip(-1)`` against causally padded windows.
 
     x: (B, T), h: (B, T, K). Returns (B, T).
+
+    Realized as K shifted slices of x (no (T, K) gather: its backward is
+    a scatter-add over B*T*K elements); with h flipped once this is
+    y = sum_k h_f[:, :, k] * xp[:, k : k + T].
     """
     k = h.shape[-1]
+    t = x.shape[1]
     xp = jnp.pad(x, ((0, 0), (k - 1, 0)))
-    # frames[n] = x[n-(K-1) .. n]
-    idx = jnp.arange(x.shape[1])[:, None] + jnp.arange(k)[None, :]
-    frames = xp[:, idx]  # (B, T, K)
-    return jnp.einsum("btk,btk->bt", frames, jnp.flip(h, -1))
+    hf = jnp.flip(h, -1)
+    if k <= 128:
+        y = hf[:, :, 0] * xp[:, :t]
+        for j in range(1, k):
+            y = y + hf[:, :, j] * xp[:, j:j + t]
+        return y
+    frames = unfold(xp, k, 1)[:, :t]              # (B, T, K)
+    return jnp.einsum("btk,btk->bt", frames, hf)
 
 
 def fir_filt_conv(x: jax.Array, h: jax.Array) -> jax.Array:

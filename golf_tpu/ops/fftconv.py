@@ -35,13 +35,15 @@ def fft_conv_full(x: jax.Array, k: jax.Array,
     nfft = 1 << (block - 1).bit_length()
     step = nfft - (taps - 1)
     n_blocks = -(-n_out // step)
-    # x padded so frame f covers conv_full outputs [f*step, f*step+step)
+    # x padded so frame f covers conv_full outputs [f*step, f*step+step);
+    # framing is gather-free (ops/dsp.py::unfold): slices, not a gather
+    # whose backward would scatter-add over F*nfft elements.
+    from .dsp import unfold
     lead = x.shape[:-1]
     xp = jnp.pad(x, [(0, 0)] * (len(lead)) + [(taps - 1,
                                                n_blocks * step - t)])
-    idx = (jnp.arange(n_blocks)[:, None] * step
-           + jnp.arange(nfft)[None, :])
-    frames = xp[..., idx]                        # (..., F, nfft)
+    frames = unfold(xp, nfft, step)              # (..., F, nfft), exact
+
     kf = jnp.fft.rfft(k, nfft)
     seg = jnp.fft.irfft(jnp.fft.rfft(frames, nfft) * kf, nfft)
     out = seg[..., taps - 1:taps - 1 + step]

@@ -97,18 +97,22 @@ def istft(spec: jax.Array, n_fft: int, hop_length: int,
     lead = frames.shape[:-2]
     flat = frames.reshape((-1, n_frames, n_fft))
 
-    def ola(fr):
-        buf = jnp.zeros(out_len, fr.dtype)
-        idx = (jnp.arange(n_frames)[:, None] * hop_length
-               + jnp.arange(n_fft)[None, :]).reshape(-1)
-        return buf.at[idx].add(fr.reshape(-1))
+    # Strip-blocked OLA (dynamic-update-slice adds, no scatter: a
+    # flattened .at[idx].add lowers to XLA scatter on TPU and its
+    # backward to gather — both serial).
+    q = -(-n_fft // hop_length)
+    fr = jnp.pad(flat, ((0, 0), (0, 0), (0, q * hop_length - n_fft)))
+    fr = fr.reshape(-1, n_frames, q, hop_length)
+    buf = jnp.zeros((fr.shape[0], n_frames + q, hop_length), fr.dtype)
+    for j in range(q):
+        buf = buf.at[:, j:j + n_frames].add(fr[:, :, j])
+    y = buf.reshape(fr.shape[0], -1)[:, :out_len]
 
-    y = jax.vmap(ola)(flat)
-    wsq = jnp.zeros(out_len).at[
-        (jnp.arange(n_frames)[:, None] * hop_length
-         + jnp.arange(n_fft)[None, :]).reshape(-1)
-    ].add(jnp.tile(wj * wj, n_frames))
-    y = y / jnp.maximum(wsq, 1e-11)
+    # window-square normalization is data-independent: host numpy
+    wsq = np.zeros(out_len)
+    for i in range(n_frames):
+        wsq[i * hop_length:i * hop_length + n_fft] += w * w
+    y = y / jnp.asarray(np.maximum(wsq, 1e-11), jnp.float32)
     y = y.reshape(lead + (out_len,))
     if center:
         y = y[..., n_fft // 2: out_len - n_fft // 2]
