@@ -71,6 +71,27 @@ def make_vggish_embedder(weights_path):
     return VGGishEmbedder(params_from_torch_state_dict(sd)), True
 
 
+def make_dac_embedder(weights_path):
+    """DAC-24kHz encoder embedder — the reference's DEFAULT FAD embedding
+    (``fad.py:30-69``: descript-audio-codec encoder, 1024-d, 5 s / 50 %
+    windows, -16 LUFS loudness normalization).
+
+    Architecture + preprocessing live in ``golf_tpu.models.dac`` (flax);
+    this loads a descript-audio-codec ``weights.pth`` state dict from a
+    LOCAL path (zero egress: not bundled). ``--weights random`` gives an
+    architecture-only smoke run (scores then NOT comparable)."""
+    from golf_tpu.models.dac import (DACEmbedder,
+                                     params_from_torch_state_dict,
+                                     random_params)
+    if weights_path == "random":
+        return DACEmbedder(random_params()), False
+    import torch
+    sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return DACEmbedder(params_from_torch_state_dict(sd)), True
+
+
 def frechet_distance(mu1, s1, mu2, s2) -> float:
     from scipy import linalg
     diff = mu1 - mu2
@@ -92,15 +113,31 @@ def main():
     ap.add_argument("--suffix", default=".wav")
     ap.add_argument("--sr", type=int, default=24000)
     ap.add_argument("--csv", default=None)
-    ap.add_argument("--embedder", choices=["logmel", "vggish"],
+    ap.add_argument("--embedder", choices=["logmel", "vggish", "dac"],
                     default="logmel")
     ap.add_argument("--weights", default=None,
-                    help="local path to a torchvggish state dict, or "
-                         "'random' for an architecture-only smoke run "
-                         "(required for --embedder vggish)")
+                    help="local path to a torchvggish / descript-audio-"
+                         "codec state dict, or 'random' for an "
+                         "architecture-only smoke run (required for "
+                         "--embedder vggish|dac)")
     args = ap.parse_args()
 
-    if args.embedder == "vggish":
+    if args.embedder == "dac":
+        if not args.weights:
+            raise SystemExit(
+                "--embedder dac needs --weights /path/to/dac_24khz.pth "
+                "(or --weights random for a smoke run): descript-audio-"
+                "codec weights are not bundled in this image and cannot "
+                "be downloaded from it")
+        emb, real = make_dac_embedder(args.weights)
+        if real:
+            print("# embedder: DAC-24kHz (the reference default; scores "
+                  "comparable to published DAC-FAD)")
+        else:
+            print("# embedder: DAC-24kHz RANDOM-INIT — architecture "
+                  "smoke run only; scores NOT comparable to published "
+                  "FAD")
+    elif args.embedder == "vggish":
         if not args.weights:
             raise SystemExit(
                 "--embedder vggish needs --weights /path/to/vggish.pth "

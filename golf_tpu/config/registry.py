@@ -77,7 +77,14 @@ def _get_by_dots(tree: Any, dotted: str) -> Any:
 
 def resolve_interpolations(tree: Any, root: Optional[Any] = None) -> Any:
     """Resolve ``${dotted.path}`` references against the config root
-    (omegaconf-style, reference ``autoencode.py:21``)."""
+    (omegaconf-style, reference ``autoencode.py:21``).
+
+    A path that does not resolve is left as-is: the reference parses the
+    ``--model`` file in its own namespace (jsonargparse omegaconf mode),
+    so ``${decoder...}`` inside cfg/ae/decoder/*.yaml must be resolved
+    against that file's root first, then the merged tree gets a second
+    pass; a typo'd path surfaces loudly at instantiation instead.
+    """
     if root is None:
         root = tree
 
@@ -89,7 +96,11 @@ def resolve_interpolations(tree: Any, root: Optional[Any] = None) -> Any:
         if isinstance(node, str):
             m = _INTERP_RE.match(node)
             if m:
-                return walk(_get_by_dots(root, m.group(1)))
+                try:
+                    target = _get_by_dots(root, m.group(1))
+                except (KeyError, IndexError, ValueError, TypeError):
+                    return node
+                return walk(target)
         return node
 
     return walk(tree)

@@ -134,7 +134,10 @@ def run(argv: List[str], default_config: Optional[str] = None):
             cfg = deep_update(cfg, yaml.safe_load(f))
     if args.model:
         with open(args.model) as f:
-            model_extra = yaml.safe_load(f)
+            # resolve ${...} against the model file's own root first
+            # (reference: the --model file is parsed in its own
+            # omegaconf namespace, cfg/ae/decoder/golf.yaml window)
+            model_extra = resolve_interpolations(yaml.safe_load(f))
         cfg.setdefault("model", {}).setdefault("init_args", {})
         cfg["model"]["init_args"] = deep_update(
             cfg["model"]["init_args"], model_extra)

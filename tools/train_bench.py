@@ -34,14 +34,15 @@ def main():
     import optax
     import yaml
     from golf_tpu.core.sig import Sig
-    from golf_tpu.config.registry import load_config, deep_update
+    from golf_tpu.config.registry import (load_config, deep_update,
+                                          resolve_interpolations)
     from golf_tpu.tasks.ae import build_voice_autoencoder
 
     sr = 24000
     b, t = args.batch, int(args.seconds * 24000)
     cfg = load_config("cfg/ae/vctk.yaml")["model"]["init_args"]
     with open(f"cfg/ae/decoder/{args.variant}.yaml") as f:
-        cfg = deep_update(cfg, yaml.safe_load(f))
+        cfg = deep_update(cfg, resolve_interpolations(yaml.safe_load(f)))
     task = build_voice_autoencoder(cfg)
 
     rng = np.random.default_rng(0)
