@@ -299,6 +299,70 @@ def allpole(x: jax.Array, a: jax.Array,
 # Constant-coefficient (per-sequence) variant — frame-wise LPC synthesis
 # ---------------------------------------------------------------------------
 
+def _allpole_const_blocked(x: jax.Array, a: jax.Array,
+                           block_size: int) -> jax.Array:
+    """Blocked two-pass all-pole with CONSTANT per-sequence coefficients.
+
+    Same affine-boundary-state algorithm as ``_allpole_blocked`` but the
+    coefficients don't vary in time, so (1) the state-sensitivity block H
+    and the per-block transition M are identical for every block of a
+    sequence — pass A tracks them once per sequence, K-free — and (2) only
+    the zero-state response runs over (N, K). Sequential depth T -> L +
+    log K; this is what lifts frame-wise GOLF-ff serving off the plain
+    960-step scan (round-4 VERDICT #5: 54 ms at B=1).
+    """
+    n, t = x.shape
+    p = a.shape[-1]
+    l = min(max(block_size, p), t)   # v_blk slices the last p outputs
+    k = (t + l - 1) // l
+    pad = k * l - t
+    xp = jnp.pad(x, ((0, 0), (0, pad))).reshape(n, k, l)
+
+    # Pass A-y0: zero-state response of each block (N, K) in parallel.
+    def step_y(s, x_t):                       # s: (N, K, p)
+        y_t = x_t - jnp.einsum("np,nkp->nk", a, s)
+        s = jnp.concatenate([y_t[..., None], s[..., :-1]], axis=-1)
+        return s, y_t
+
+    _, y0 = lax.scan(step_y, jnp.zeros((n, k, p), x.dtype),
+                     jnp.moveaxis(xp, 2, 0))
+    y0 = jnp.moveaxis(y0, 0, 2)               # (N, K, L)
+
+    # Pass A-H: state sensitivity, once per sequence (K-free): rows of
+    # w are [y[t-1..t-p]] as linear functions of s_in.
+    eye = jnp.broadcast_to(jnp.eye(p, dtype=x.dtype), (n, p, p))
+
+    def step_h(w, _):
+        r = -jnp.einsum("np,npq->nq", a, w)   # (N, p)
+        w = jnp.concatenate([r[:, None, :], w[:, :-1, :]], axis=1)
+        return w, r
+
+    w_end, hs = lax.scan(step_h, eye, None, length=l)
+    h = jnp.moveaxis(hs, 0, 1)                # (N, L, p)
+    m_blk = w_end                             # (N, p, p): s_out = M s_in + v
+
+    # Pass B: incoming state of block k. M is constant per sequence, the
+    # offset v differs per block (it is the last p outputs of the block's
+    # zero-state response): v[k][i] = y0[k, L-1-i] + (H s_in correction is
+    # folded by the associative scan over (M, v)).
+    idx_last = jnp.arange(p)
+    v_blk = y0[:, :, l - 1 - idx_last]        # (N, K, p) via static slice
+    m_b = jnp.broadcast_to(m_blk[:, None], (n, k, p, p))
+
+    def combine(e1, e2):
+        m1, v1 = e1
+        m2, v2 = e2
+        return (jnp.einsum("nkij,nkjl->nkil", m2, m1),
+                jnp.einsum("nkij,nkj->nki", m2, v1) + v2)
+
+    m_cum, v_cum = lax.associative_scan(combine, (m_b, v_blk), axis=1)
+    s_in = jnp.concatenate([
+        jnp.zeros((n, 1, p), x.dtype), v_cum[:, :-1]], axis=1)  # zi = 0
+
+    y = y0 + jnp.einsum("nlp,nkp->nkl", h, s_in)
+    return y.reshape(n, k * l)[:, :t]
+
+
 def _allpole_const_impl(x: jax.Array, a: jax.Array) -> jax.Array:
     """x: (N, T), a: (N, p) constant per sequence."""
     n, t = x.shape
@@ -306,6 +370,8 @@ def _allpole_const_impl(x: jax.Array, a: jax.Array) -> jax.Array:
     if _use_pallas(x, p, "const"):
         from .allpole_pallas import allpole_const_pallas
         return allpole_const_pallas(x, a)
+    if t > max(64, p):
+        return _allpole_const_blocked(x, a, _choose_block(t))
 
     def step(s, x_t):
         y_t = x_t - jnp.sum(a * s, axis=-1)

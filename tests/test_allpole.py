@@ -210,3 +210,28 @@ def test_dispatch_table_real_file():
     assert ap._table_winner("tv", 1, 144000, 22) == "blocked"
     assert ap._table_winner("tv", 64, 48000, 22) == "pallas"
     ap._table_winner.cache_clear()
+
+
+def test_allpole_const_blocked_matches_scan():
+    """Blocked two-pass const kernel (K-free sensitivity tracking) vs the
+    sequential scan, incl. non-divisible T and order > block edge."""
+    from golf_tpu.ops.allpole import _allpole_const_blocked
+
+    rng = np.random.default_rng(11)
+    for n, t, p, bs in [(4, 960, 22, 32), (2, 715, 22, 32),
+                        (3, 100, 4, 8), (1, 65, 22, 8)]:
+        x = jnp.asarray(rng.standard_normal((n, t)).astype(np.float32))
+        a = jnp.asarray((rng.standard_normal((n, p)) * 0.1).astype(
+            np.float32))
+
+        def step(s, x_t):
+            y_t = x_t - jnp.sum(a * s, axis=-1)
+            s = jnp.concatenate([y_t[:, None], s[:, :-1]], axis=1)
+            return s, y_t
+
+        _, ref = jax.lax.scan(step, jnp.zeros((n, p), jnp.float32),
+                              jnp.moveaxis(x, 1, 0))
+        ref = jnp.moveaxis(ref, 0, 1)
+        got = _allpole_const_blocked(x, a, bs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-4)

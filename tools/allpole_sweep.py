@@ -197,18 +197,11 @@ def main():
                       for w in (240, 960)
                       for p in (10, 22)]
 
+    from golf_tpu.ops.allpole import _allpole_const_blocked
+
     def const_scan(x, a):
-        from jax import lax
-        n, p = a.shape
-
-        def step(s, x_t):
-            y_t = x_t - jnp.sum(a * s, axis=-1)
-            s = jnp.concatenate([y_t[:, None], s[:, :-1]], axis=1)
-            return s, y_t
-
-        _, y = lax.scan(step, jnp.zeros((n, p), x.dtype),
-                        jnp.moveaxis(x, 1, 0))
-        return jnp.moveaxis(y, 0, 1)
+        # the non-pallas arm is now the blocked const kernel (round-5)
+        return _allpole_const_blocked(x, a, _choose_block(x.shape[1]))
 
     for n, w, p in const_grid:
         x = jnp.asarray(rng.standard_normal((n, w)).astype(np.float32))
