@@ -129,6 +129,46 @@ def test_bilstm_bf16_matches_flax():
     assert np.abs(yf - y32).max() < 3e-2
 
 
+def test_bilstm_grads_match_flax():
+    """Hand-written BPTT (custom VJP, hoisted dW contractions) must match
+    autodiff of the flax reference cell, params shared."""
+    x = jax.random.normal(jax.random.key(9), (3, 31, 7))
+    fused = BiLSTM(hidden_size=10)
+    ref = _RefBiLSTM(hidden_size=10)
+    v = fused.init(jax.random.key(0), x)
+
+    def loss(m, p, xx):
+        return jnp.sum(jnp.sin(m.apply({"params": p}, xx)) ** 2)
+
+    lf, gf = jax.value_and_grad(lambda p: loss(fused, p, x))(v["params"])
+    lr_, gr = jax.value_and_grad(lambda p: loss(ref, p, x))(v["params"])
+    np.testing.assert_allclose(float(lf), float(lr_), rtol=1e-6)
+    for (kf, a), (kr, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gf),
+            jax.tree_util.tree_leaves_with_path(gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(kf))
+    # input gradient too
+    gx_f = jax.grad(lambda xx: loss(fused, v["params"], xx))(x)
+    gx_r = jax.grad(lambda xx: loss(ref, v["params"], xx))(x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_bilstm_bf16_grads_finite():
+    x = jax.random.normal(jax.random.key(10), (2, 40, 6))
+    m = BiLSTM(hidden_size=8, dtype=jnp.bfloat16)
+    v = m.init(jax.random.key(0), x)
+    g = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, x) ** 2))(
+        v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l, np.float32)))
+               for l in leaves)
+    assert max(float(jnp.linalg.norm(l.astype(jnp.float32)))
+               for l in leaves) > 0
+
+
 def test_bilstm_grads_flow():
     x = jax.random.normal(jax.random.key(4), (2, 9, 4))
     m = BiLSTM(hidden_size=6, num_layers=2)
