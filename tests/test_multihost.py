@@ -15,6 +15,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _WORKER = r'''
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"

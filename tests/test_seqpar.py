@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from golf_tpu.core.sig import Sig
 from golf_tpu.parallel import seqpar
 from golf_tpu.parallel.mesh import make_mesh

@@ -3,6 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from golf_tpu.ops.allpole import allpole_scan
 from golf_tpu.parallel.mesh import make_mesh
 from golf_tpu.parallel.timeshard import allpole_timesharded

@@ -9,6 +9,8 @@ hop upsampling.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp  # noqa: E402

@@ -10,6 +10,8 @@ import math
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from golf_tpu.utils import world_lite as wl
 
 FS = 24000
