@@ -187,7 +187,9 @@ def run(argv: List[str], default_config: Optional[str] = None):
         elif isinstance(task, LPCNetVocoder):
             variables = {"params": state.params, "stats": state.stats,
                          "batch_stats": state.batch_stats}
-            print(json.dumps(run_lpcnet_test(task, variables, datamodule)))
+            print(json.dumps(run_lpcnet_test(
+                task, variables, datamodule,
+                ar_dump_dir=cfg.get("ar_dump_dir"))))
         else:
             trainer.test(datamodule, state)
     elif args.subcommand == "predict":

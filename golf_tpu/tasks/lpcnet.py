@@ -10,6 +10,7 @@ per-step LR decay 1/(1+5e-5*step).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -170,7 +171,8 @@ class LPCNetVocoder(nn.Module):
 
 
 def run_lpcnet_test(task, variables, datamodule,
-                    max_ar_batches: int = 4) -> Dict:
+                    max_ar_batches: int = 4,
+                    ar_dump_dir: Optional[str] = None) -> Dict:
     """LPCNet test protocol (reference ``ltng/lpcnet.py:285-330``):
     teacher-forced likelihood over the full test set, plus autoregressive
     per-sample resynthesis scored with MSS and DIO f0-cents MAE against
@@ -220,6 +222,17 @@ def run_lpcnet_test(task, variables, datamodule,
             x_hat = ar_generate(variables, x, k2)
             t = min(x.shape[1], x_hat.shape[1])
             ar_mss += float(criterion(x_hat[:, :t], x[:, :t])) * n
+            if ar_dump_dir and i == 0:
+                # commit-able AR resynthesis evidence (VERDICT r4 #4):
+                # first batch's AR output + matching references
+                from ..utils.wav import write_wav
+                for j in range(min(4, x.shape[0])):
+                    write_wav(os.path.join(ar_dump_dir,
+                                           f"ar_{j:02d}.wav"),
+                              np.asarray(x_hat[j, :t]), sr)
+                    write_wav(os.path.join(ar_dump_dir,
+                                           f"ref_{j:02d}.wav"),
+                              np.asarray(x[j, :t]), sr)
             # f0-cents MAE of the AR resynthesis (reference protocol:
             # re-estimate f0 host-side and compare to the dataset track)
             xh = np.asarray(x_hat)

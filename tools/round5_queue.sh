@@ -135,11 +135,16 @@ if [ -e runs/r5/lpcnet/ckpt/last ] && [ ! -e runs/r5/lpcnet.test10k.log ]; then
   wait_relay
   timeout 3600 python main.py test --config cfg/lpcnet.yaml \
     data.class_path=ltng.data.Synthetic data.init_args.batch_size=32 \
+    ar_dump_dir=runs/r5/ar_wavs \
     --ckpt_path runs/r5/lpcnet/ckpt/last \
     --run_dir runs/r5/lpcnet > runs/r5/lpcnet.test10k.log 2>&1
   cp runs/r5/lpcnet/metrics.jsonl runs/r5/lpcnet.metrics.jsonl 2>/dev/null
   snap lpcnet_10k runs/r5/lpcnet.fit.log runs/r5/lpcnet.test10k.log \
     runs/r5/lpcnet.metrics.jsonl
+  if [ -e runs/r5/ar_wavs/ar_00.wav ]; then
+    mkdir -p docs/results_r5/ar_wavs && cp runs/r5/ar_wavs/*.wav docs/results_r5/ar_wavs/
+    git add docs/results_r5/ar_wavs && git commit -q -m "round 5 evidence: LPCNet AR resynthesis wavs" --only docs/results_r5/ar_wavs
+  fi
 fi
 
 # ---- 4. ss-SGD transfer (VERDICT #9) ---------------------------------------
