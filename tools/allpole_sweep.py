@@ -110,6 +110,10 @@ def main():
                     help="mid = all batches but order-22 only (order 10 "
                          "sampled at the serving shape) — half the "
                          "compile budget of full")
+    ap.add_argument("--const-only", action="store_true",
+                    help="re-measure only the const kernel grid; keep "
+                         "the existing tv entries (round-5: the blocked "
+                         "const kernel changed the non-pallas arm)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
         "golf_tpu", "ops", "allpole_dispatch.json"))
@@ -126,6 +130,13 @@ def main():
     rng = np.random.default_rng(0)
     dev = str(jax.devices()[0])
     entries = []
+    if args.const_only:
+        try:
+            with open(os.path.abspath(args.out)) as f:
+                entries = [e for e in json.load(f)["entries"]
+                           if e["kernel"] == "tv"]
+        except Exception:
+            entries = []
 
     grid = args.grid or ("quick" if args.quick else "full")
 
@@ -153,6 +164,8 @@ def main():
                        "fetch_floor_ms": round(_fetch_floor() * 1e3, 4),
                        "entries": entries}, f, indent=1)
 
+    if args.const_only:
+        tv_grid = []
     for b, t, p in tv_grid:
         if (b * t * (p + 2) * 4) * 2 > 3.0e9:
             print(f"# skip {(b, t, p)}: operand footprint over budget",
@@ -196,6 +209,9 @@ def main():
                       for n in (64, 256, 1024, 4096)
                       for w in (240, 960)
                       for p in (10, 22)]
+    # the two real frame-path shapes: B=1 serving (601 frames x 960) and
+    # B=32 training (6432 x 960)
+    const_grid += [(601, 960, 22), (6432, 960, 22)]
 
     from golf_tpu.ops.allpole import _allpole_const_blocked
 

@@ -185,3 +185,73 @@ if [ ! -e runs/r5/ss_scratch.fit.log.done ]; then
 fi
 
 log "queue done"
+
+# ---- 5. final perf captures -------------------------------------------------
+# const-kernel sweep refresh: "blocked" now means the round-5 blocked
+# const kernel; winners may flip vs pallas at small N (ff B=1 serving)
+if [ ! -e docs/results_r5/allpole_sweep_r5.log ]; then
+  log "allpole sweep refresh"
+  wait_relay
+  timeout 3600 python tools/allpole_sweep.py --const-only \
+    > docs/results_r5/allpole_sweep_r5.log 2>&1 || true
+  snap allpole_sweep_r5 docs/results_r5/allpole_sweep_r5.log \
+    golf_tpu/ops/allpole_dispatch.json
+fi
+
+# ff B=1 serving attribution (VERDICT #5) + test_rtf record
+if [ ! -e docs/results_r5/ff_profile.json ]; then
+  log "ff synth profile (B=1)"
+  wait_relay
+  timeout 3600 python tools/synth_profile.py \
+    --decoder cfg/ae/decoder/golf.yaml \
+    > docs/results_r5/ff_profile.json 2> docs/results_r5/ff_profile.err || true
+  snap ff_profile docs/results_r5/ff_profile.json
+fi
+if [ -e runs/r5/var_golf/ckpt/last ] && [ ! -e docs/results_r5/test_rtf.log ]; then
+  log "test_rtf (trained golf_ff)"
+  wait_relay
+  timeout 3600 python test_rtf.py --config runs/r5/var_golf/config.yaml \
+    --ckpt runs/r5/var_golf/ckpt/last \
+    > docs/results_r5/test_rtf.log 2>&1 || true
+  snap test_rtf docs/results_r5/test_rtf.log
+fi
+
+# training-path numbers after the round-5 kernels (custom-VJP LSTM etc.)
+if [ ! -e docs/results_r5/train_profile5.json ]; then
+  log "train profile"
+  wait_relay
+  timeout 3600 python tools/train_profile.py \
+    > docs/results_r5/train_profile5.json \
+    2> docs/results_r5/train_profile5.err || true
+  snap train_profile5 docs/results_r5/train_profile5.json
+fi
+if [ ! -e docs/results_r5/bwd_profile2.json ]; then
+  log "bwd profile (post round-5 kernels)"
+  wait_relay
+  timeout 4000 python tools/bwd_profile.py \
+    --out docs/results_r5/bwd_profile2.json \
+    2> docs/results_r5/bwd_profile2.err \
+    > docs/results_r5/bwd_profile2.out || true
+  snap bwd_profile2 docs/results_r5/bwd_profile2.json
+fi
+
+# time-L2 + harm/noise analyses on the trained golf anchor (notebook ports)
+if [ -e runs/r5/var_golf/ckpt/last ] && [ ! -e docs/results_r5/time_l2.json ]; then
+  log "time_l2 analysis"
+  wait_relay
+  timeout 3600 python tools/time_l2.py \
+    --config cfg/ae/synthetic-mid.yaml --model cfg/ae/decoder/golf.yaml \
+    --ckpt runs/r5/var_golf/ckpt/last --iters 400 \
+    > docs/results_r5/time_l2.json 2> docs/results_r5/time_l2.err || true
+  snap time_l2 docs/results_r5/time_l2.json
+fi
+
+# steady-state bench capture
+if [ ! -e docs/results_r5/bench_r5.json ]; then
+  log "bench"
+  wait_relay
+  timeout 3600 python bench.py > docs/results_r5/bench_r5.json \
+    2> docs/results_r5/bench_r5.err || true
+  snap bench_r5 docs/results_r5/bench_r5.json
+fi
+log "queue fully done"
