@@ -99,18 +99,26 @@ def main():
     # a per-repeat jitter operand defeats executable/result caching, and
     # the trivial dispatch+fetch floor is subtracted.
     _floor = [None]
+    _tiny = [None]
+    _floor_log = []
 
-    def fetch_floor():
-        if _floor[0] is None:
-            tiny = jax.jit(lambda a: a * 1.0000001 + 1.0)
-            float(tiny(jnp.float32(0.0)))
+    def fetch_floor(refresh=False):
+        # INTERLEAVED floor protocol (round-4 weak #6/#8: the relay floor
+        # drifted 25->38 ms mid-run and inverted sum_stages vs chain):
+        # re-measure immediately before each stage timing and subtract
+        # the stage's own floor, not a run-global constant.
+        if _floor[0] is None or refresh:
+            if _tiny[0] is None:
+                _tiny[0] = jax.jit(lambda a: a * 1.0000001 + 1.0)
+                float(_tiny[0](jnp.float32(0.0)))
             fs = []
-            for i in range(9):
+            for i in range(7):
                 t0 = time.perf_counter()
-                float(tiny(jnp.float32(i)))
+                float(_tiny[0](jnp.float32(len(_floor_log) * 100 + i)))
                 fs.append(time.perf_counter() - t0)
             fs.sort()
             _floor[0] = fs[len(fs) // 2]
+            _floor_log.append(round(_floor[0] * 1e3, 3))
         return _floor[0]
 
     def amortize(f, *args):
@@ -129,7 +137,7 @@ def main():
 
         jf = jax.jit(k_fn)
         np.asarray(jf(stacked, jnp.float32(0.0)))
-        floor = fetch_floor()
+        floor = fetch_floor(refresh=True)   # per-stage floor (interleaved)
         ts = []
         for i in range(1, 6):
             t0 = time.perf_counter()
@@ -198,6 +206,7 @@ def main():
            for k, v in res.items()}
     res["device"] = str(jax.devices()[0])
     res["fetch_floor_ms"] = round(fetch_floor() * 1e3, 4)
+    res["floor_log_ms"] = _floor_log
     res["k_amortize"] = k_amort
     res["batch"] = b
     res["seconds"] = seconds
