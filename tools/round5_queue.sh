@@ -198,6 +198,16 @@ if [ ! -e docs/results_r5/allpole_sweep_r5.log ]; then
     golf_tpu/ops/allpole_dispatch.json
 fi
 
+# ss chain re-profile with INTERLEAVED floors (VERDICT #8)
+if [ ! -e docs/results_r5/synth_profile3.json ]; then
+  log "ss synth profile (interleaved floors)"
+  wait_relay
+  timeout 3600 python tools/synth_profile.py \
+    > docs/results_r5/synth_profile3.json \
+    2> docs/results_r5/synth_profile3.err || true
+  snap synth_profile3 docs/results_r5/synth_profile3.json
+fi
+
 # ff B=1 serving attribution (VERDICT #5) + test_rtf record
 if [ ! -e docs/results_r5/ff_profile.json ]; then
   log "ff synth profile (B=1)"
