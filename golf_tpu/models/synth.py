@@ -122,19 +122,29 @@ def _lookup_blocks(ph: jax.Array, tables: jax.Array, hop: int) -> jax.Array:
 
 
 def _lookup_blocks_fwd(ph, tables, hop):
-    return _lookup_blocks(ph, tables, hop), (ph, tables)
-
-
-def _lookup_blocks_bwd(hop, res, g):
-    ph, tables = res
-    from ..ops.lookup_pallas import bilinear_lookup_pallas_bwd, \
+    from ..ops.lookup_pallas import bilinear_lookup_pallas_res, \
         bwd_supported
     if _use_pallas_lookup(hop, tables.shape[-1]) and \
             bwd_supported(hop, tables.shape[-1]):
-        # Pallas adjoint (transposed one-hot matmuls): the jnp-vjp
+        # Save the corner-difference residuals so the backward's phase
+        # half is elementwise (no recomputed lookup dot): the jnp-vjp
         # fallback replays the SLOW XLA gather forward (~500 ms at the
-        # B=32 training shape vs ~30 ms — docs/BENCH.md round 4)
-        return bilinear_lookup_pallas_bwd(ph, tables, g, hop)
+        # B=32 training shape vs ~30 ms — docs/BENCH.md round 4), and
+        # the round-4 recompute adjoint owned 219 ms of the training
+        # backward (docs/results_r5/bwd_stage.json).
+        out, dtop, dbot = bilinear_lookup_pallas_res(ph, tables, hop)
+        return out, (ph, tables, dtop, dbot)
+    return _lookup_blocks(ph, tables, hop), (ph, tables, None, None)
+
+
+def _lookup_blocks_bwd(hop, res, g):
+    ph, tables, dtop, dbot = res
+    if dtop is not None:
+        from ..ops.lookup_pallas import bilinear_lookup_pallas_dtab, \
+            dph_from_res
+        d_ph = dph_from_res(g, dtop, dbot, tables.shape[-1], hop)
+        d_tables = bilinear_lookup_pallas_dtab(ph, g, hop, tables)
+        return d_ph, d_tables
     _, vjp = jax.vjp(lambda p_, t_: _lookup_blocks_jnp(p_, t_, hop),
                      ph, tables)
     return vjp(g)

@@ -25,6 +25,7 @@ from scipy.signal import get_window as _scipy_get_window
 PHASE_BLOCK = 240
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def wrapped_cumsum(x: jax.Array, block: int = PHASE_BLOCK) -> jax.Array:
     """Inclusive cumsum of ``x`` along time (dim 1), reduced mod 1, with
     bounded rounding error independent of the signal length.
@@ -54,6 +55,21 @@ def wrapped_cumsum(x: jax.Array, block: int = PHASE_BLOCK) -> jax.Array:
         [jnp.zeros_like(off[:, :1]), off[:, :-1]], axis=1)
     out = (local % 1 + off_excl[..., None]) % 1
     return out.reshape(b, nb * block)[:, :t]
+
+
+def _wrapped_cumsum_fwd(x, block):
+    return wrapped_cumsum(x, block), None
+
+
+def _wrapped_cumsum_bwd(block, _, g):
+    # d out_t / d x_s = 1[s <= t] a.e. (the mod-1 wraps have unit slope),
+    # so the cotangent is a REVERSED inclusive cumsum — one cheap scan
+    # instead of autodiff through the blocked associative mod-scan
+    # (whose transpose is a ~60-op elementwise storm at (B, nb, block)).
+    return (jnp.flip(jnp.cumsum(jnp.flip(g, 1), axis=1), 1),)
+
+
+wrapped_cumsum.defvjp(_wrapped_cumsum_fwd, _wrapped_cumsum_bwd)
 
 
 # ---------------------------------------------------------------------------

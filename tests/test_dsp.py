@@ -240,3 +240,24 @@ def test_wrapped_cumsum_matches_fp64_mod1():
         jnp.sin(2 * np.pi * 3 * wrapped_cumsum(z))))(
         jnp.asarray(xl[:, :480]))
     assert bool(jnp.isfinite(g).all())
+
+
+def test_wrapped_cumsum_custom_vjp_is_reverse_cumsum():
+    """The custom VJP (reverse cumsum) equals the gradient of the plain
+    unwrapped cumsum through any integer-periodic consumer (the mod-1
+    wraps have unit slope a.e.)."""
+    from golf_tpu.ops.dsp import wrapped_cumsum
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0.001, 0.05, (3, 700)).astype(np.float32))
+
+    def f_wrapped(z):
+        return jnp.sum(jnp.cos(2 * np.pi * 2 * wrapped_cumsum(z))
+                       * jnp.arange(z.shape[1]))
+
+    gw = np.asarray(jax.grad(f_wrapped)(x))
+    # analytic fp64 reference: df/dx_s = sum_{t>=s} w_t d cos(4 pi c_t)/dc
+    c = np.cumsum(np.asarray(x, np.float64), axis=1)
+    dldc = (-np.sin(4 * np.pi * c) * 4 * np.pi
+            * np.arange(x.shape[1], dtype=np.float64))
+    gp = np.flip(np.cumsum(np.flip(dldc, 1), axis=1), 1)
+    np.testing.assert_allclose(gw, gp, rtol=1e-4, atol=5e-3 * np.abs(gp).max())

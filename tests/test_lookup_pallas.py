@@ -52,6 +52,35 @@ def test_grad_parity():
                                atol=3e-6, rtol=0)
 
 
+def test_grad_parity_pallas_residual_path(monkeypatch):
+    """The residual-saving VJP (Pallas fwd emits d_top/d_bot; dph is
+    elementwise, dtab via the two-level histogram kernel) matches the
+    jnp formulation's gradients, incl. the wraparound column."""
+    import golf_tpu.models.synth as synth_mod
+    monkeypatch.setattr(synth_mod, "_use_pallas_lookup",
+                        lambda hop_, s_: True)
+    r = np.random.default_rng(3)
+    b, blocks, hop, s = 2, 5, 384, 1024
+    ph = jnp.asarray(r.random((b, blocks, hop), np.float32))
+    ph = ph.at[:, :, :8].set(jnp.asarray(1.0 - 1e-4, jnp.float32))
+    tabs = jnp.asarray(
+        r.standard_normal((b, blocks + 1, s)).astype(np.float32))
+
+    def loss(fn, p_, t_):
+        return jnp.sum(jnp.sin(fn(p_, t_, hop)))
+
+    ga = jax.grad(lambda p_, t_: loss(_lookup_blocks_jnp, p_, t_),
+                  argnums=(0, 1))(ph, tabs)
+    gp = jax.grad(lambda p_, t_: loss(_lookup_blocks, p_, t_),
+                  argnums=(0, 1))(ph, tabs)
+    # dph associates the corner terms differently (saved differences);
+    # values are O(1e3) so allow a slightly wider relative band
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(ga[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(ga[1]),
+                               atol=3e-6, rtol=0)
+
+
 def test_module_path_routes_and_matches(monkeypatch):
     """_bilinear_table_lookup output is identical with the kernel forced
     on (interpret) and forced off, including the T % hop != 0 tail."""
