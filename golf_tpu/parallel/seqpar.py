@@ -151,23 +151,44 @@ def global_wrapped_cumsum(x: jax.Array, env: SeqParEnv,
     module); falls back to ``global_cumsum(x) % 1`` otherwise, which is
     correct but carries ulp(T-scale) conditioning instead.
     """
-    from ..ops.dsp import PHASE_BLOCK, wrapped_cumsum
+    from ..ops.dsp import PHASE_BLOCK
     blk = PHASE_BLOCK if block is None else block
     b, tl = x.shape
     if tl % blk != 0:
         return global_cumsum(x, env) % 1
     nb_loc = tl // blk
-    local = jnp.cumsum(x.reshape(b, nb_loc, blk), axis=-1)
-    totals = local[..., -1] % 1                          # (B, nb_loc)
-    tot_glob = lax.all_gather(totals, env.time_axis, axis=1,
-                              tiled=True)                # (B, nb_glob)
-    off = lax.associative_scan(lambda u, v: (u + v) % 1, tot_glob, axis=1)
-    off_excl = jnp.concatenate(
-        [jnp.zeros_like(off[:, :1]), off[:, :-1]], axis=1)
-    off_loc = lax.dynamic_slice_in_dim(
-        off_excl, tidx(env) * nb_loc, nb_loc, axis=1)
-    out = (local % 1 + off_loc[..., None]) % 1
-    return out.reshape(b, tl)
+
+    def impl(z):
+        local = jnp.cumsum(z.reshape(b, nb_loc, blk), axis=-1)
+        totals = local[..., -1] % 1                      # (B, nb_loc)
+        tot_glob = lax.all_gather(totals, env.time_axis, axis=1,
+                                  tiled=True)            # (B, nb_glob)
+        off = lax.associative_scan(lambda u, v: (u + v) % 1, tot_glob,
+                                   axis=1)
+        off_excl = jnp.concatenate(
+            [jnp.zeros_like(off[:, :1]), off[:, :-1]], axis=1)
+        off_loc = lax.dynamic_slice_in_dim(
+            off_excl, tidx(env) * nb_loc, nb_loc, axis=1)
+        out = (local % 1 + off_loc[..., None]) % 1
+        return out.reshape(b, tl)
+
+    # Exact custom VJP (same identity as ops.dsp.wrapped_cumsum's): the
+    # global cotangent is a REVERSED global cumsum, realized with two
+    # global flips around a global cumsum — one ppermute pair + one
+    # scalar all_gather instead of autodiff through the mod-scan.
+    @jax.custom_vjp
+    def f(z):
+        return impl(z)
+
+    def f_fwd(z):
+        return impl(z), None
+
+    def f_bwd(_, g):
+        rev = global_flip(global_cumsum(global_flip(g, env), env), env)
+        return (rev,)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x)
 
 
 def global_flip(x: jax.Array, env: SeqParEnv) -> jax.Array:
