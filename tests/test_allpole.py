@@ -212,6 +212,7 @@ def test_dispatch_table_real_file():
     ap._table_winner.cache_clear()
 
 
+@pytest.mark.slow
 def test_allpole_const_blocked_matches_scan():
     """Blocked two-pass const kernel (K-free sensitivity tracking) vs the
     sequential scan, incl. non-divisible T and order > block edge."""

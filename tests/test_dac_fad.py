@@ -153,6 +153,7 @@ def test_dac_windows_protocol():
     assert integrated_loudness(w[0], sr) == pytest.approx(-16.0, abs=0.7)
 
 
+@pytest.mark.slow
 def test_dac_embedder_shapes():
     from golf_tpu.models.dac import DACEmbedder, random_params
 

@@ -132,6 +132,7 @@ def test_radiation_filter():
     assert ww.shape == (17,)
 
 
+@pytest.mark.slow
 def test_levinson():
     from scipy.signal import lfilter as scipy_lfilter
     rng = np.random.default_rng(5)

@@ -124,6 +124,7 @@ def test_min_phase_fir_filters():
                                np.asarray(op.data[:, 64:t]), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_complex_conj_allpass():
     from golf_tpu.models.filters import LTIComplexConjAllpassFilter
     f = LTIComplexConjAllpassFilter(num_roots=3)
@@ -163,6 +164,7 @@ def test_mss_loss_v2_variants():
             assert float(loss(x, x * 1.1)) > 0
 
 
+@pytest.mark.slow
 def test_inverse_mode_excitation_domain():
     """SourceFilterSynth target mode returns (src, inverse-filtered target)
     (reference sf.py:61-63 + vocoder inverse_target)."""

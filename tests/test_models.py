@@ -207,6 +207,7 @@ def test_ltv_zero_phase_frame_matches_precise():
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_ltv_minphase_filter_ff_vs_ss_constant():
     """Frame-wise OLA LPC ~ sample-wise filter for slowly-varying coeffs
     in steady state."""

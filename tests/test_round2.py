@@ -25,6 +25,7 @@ def _random_biquads(b, f, k):
     return np.stack([ones, a1, a2], axis=-1)  # (B, F, K, 3)
 
 
+@pytest.mark.slow
 def test_second_order_lpc_synth_matches_direct_form():
     from golf_tpu.models.lpc import BatchLPCSynth, BatchSecondOrderLPCSynth
     from golf_tpu.ops.dsp import coeff_product

@@ -61,6 +61,7 @@ def test_ddsp_vocoder_training_step():
     assert {"l1_loss", "f0_loss", "voicing_loss"} <= set(metrics)
 
 
+@pytest.mark.slow
 def test_lpcnet_training_and_generate():
     from golf_tpu.tasks.lpcnet import build_lpcnet_vocoder
     cfg = {
@@ -97,6 +98,7 @@ def test_lpcnet_training_and_generate():
     assert y.shape[0] == 1 and np.all(np.isfinite(np.asarray(y)))
 
 
+@pytest.mark.slow
 def test_lpcnet_test_protocol():
     """run_lpcnet_test: teacher-forced metrics + AR-MSS over a datamodule
     (reference ``ltng/lpcnet.py:285-330`` test protocol)."""
