@@ -88,4 +88,48 @@ for dt in fp32 bf16; do
   fi
 done
 
+# PESQ + FAD rows for the top-3 variants by test MSS (VERDICT r4 #2:
+# "full test rows + PESQ/FAD for the top 3").
+if [ ! -d runs/r5/refs ]; then
+  log "dump refs"
+  timeout 900 python tools/dump_refs.py cfg/ae/synthetic-mid.yaml \
+      runs/r5/refs > runs/r5/refs.log 2>&1
+fi
+TOP3=$(python - <<'PYEOF'
+import json, os
+rows = []
+for v in ["golf", "ddsp", "nhv", "world", "golf_v1", "mlsa", "mlsa_taylor"]:
+    p = f"runs/r5/var_{v}.test.log"
+    if not os.path.exists(p):
+        continue
+    for line in open(p):
+        line = line.strip()
+        if line.startswith("{") and "avg_mss" in line:
+            rows.append((json.loads(line)["avg_mss_loss"], v))
+rows.sort()
+print(" ".join(v for _, v in rows[:3]))
+PYEOF
+)
+log "top3 variants: $TOP3"
+for name in $TOP3; do
+  v=${name//_/-}
+  if [ -e runs/r5/var_$name/ckpt/last ] && \
+     [ ! -e runs/r5/var_$name.pesq.log ]; then
+    log "predict+pesq+fad $name"
+    wait_relay
+    timeout 2400 python autoencode.py predict $MID \
+      --model cfg/ae/decoder/$v.yaml \
+      --ckpt_path runs/r5/var_$name/ckpt/last \
+      --run_dir runs/r5/var_$name > runs/r5/var_$name.predict.log 2>&1
+    if [ -d runs/r5/var_$name/predictions ]; then
+      timeout 1200 python eval_pesq.py runs/r5/refs \
+          runs/r5/var_$name/predictions > runs/r5/var_$name.pesq.log 2>&1
+      timeout 1200 python fad.py runs/r5/refs \
+          runs/r5/var_$name/predictions > runs/r5/var_$name.fad.log 2>&1
+    fi
+    snap ${name}_eval runs/r5/var_$name.pesq.log runs/r5/var_$name.fad.log \
+      runs/r5/var_$name.predict.log
+  fi
+done
+
 log "round5b done"
