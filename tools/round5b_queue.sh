@@ -47,6 +47,40 @@ if [ ! -e docs/results_r5/lookup_probe2.json ]; then
   snap lookup_probe2 docs/results_r5/lookup_probe2.json
 fi
 
+# Recovery pass A: re-run any variant FIT the main queue abandoned (its
+# 3 attempts can all burn on relay flaps mid-run; blocks are single-shot
+# per queue pass). Up to 6 attempts, relay-gated each time.
+MID="--config cfg/ae/synthetic-mid.yaml"
+for v in golf ddsp nhv world golf-v1 mlsa mlsa-taylor; do
+  name=${v//-/_}
+  if [ ! -e runs/r5/var_$name/ckpt/last ]; then
+    log "recover fit $v"
+    for i in 1 2 3 4 5 6; do
+      wait_relay
+      timeout 10000 python autoencode.py fit $MID \
+        --model cfg/ae/decoder/$v.yaml \
+        trainer.max_steps=6000 trainer.check_val_every_n_steps=500 \
+        trainer.early_stop_patience=30 \
+        --run_dir runs/r5/var_$name >> runs/r5/var_$name.fit.log 2>&1 \
+        && break
+      log "recover fit $v attempt $i failed (rc=$?)"
+    done
+  fi
+  if [ -e runs/r5/var_$name/ckpt/last ] && \
+     [ ! -e runs/r5/var_$name.test.log ]; then
+    log "recover missing test $v"
+    wait_relay
+    timeout 2400 python autoencode.py test $MID \
+      --model cfg/ae/decoder/$v.yaml \
+      --ckpt_path runs/r5/var_$name/ckpt/last \
+      --run_dir runs/r5/var_$name > runs/r5/var_$name.test.log 2>&1
+    cp runs/r5/var_$name/metrics.jsonl runs/r5/var_$name.metrics.jsonl \
+      2>/dev/null
+    snap var_$name runs/r5/var_$name.fit.log runs/r5/var_$name.test.log \
+      runs/r5/var_$name.metrics.jsonl
+  fi
+done
+
 # Recovery pass: re-run any variant test row whose log exists but holds
 # no final avg_* JSON line (relay died mid-test; the main queue's
 # test blocks are single-shot and would otherwise skip them forever).
